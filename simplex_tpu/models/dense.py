@@ -1,0 +1,170 @@
+"""Dense tableau-simplex solver: the framework's authoritative single-LP engine.
+
+Plays the role scipy/HiGHS plays in the reference
+(``solver_controller.py:78-85``): given a :class:`LinearProgram`, returns a
+scipy-compatible result object (``success`` / ``status`` / ``x`` / ``fun`` /
+``message``) so the orchestration layer keeps the same contract.
+
+Numerics: the pivot loop runs on device in float32 (TPU-native); when
+``config.refine`` is set the final basis system ``B x_B = b`` is re-solved on
+host in float64, recovering 1e-6+ objective parity with the CPU reference
+(SURVEY.md §7 "numerical tolerance in f32").
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SolverConfig, DEFAULT_CONFIG
+from ..core.problem import (
+    LinearProgram,
+    StandardForm,
+    STATUS_MESSAGES,
+    STATUS_OPTIMAL,
+    compile_standard_form,
+)
+from ..ops import tableau as tableau_ops
+
+
+def _bucket(x: int, minimum: int = 8) -> int:
+    """Round up to the next power of two (limits jit recompilation)."""
+    b = minimum
+    while b < x:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class SimplexResult:
+    """scipy.optimize.OptimizeResult-compatible solve result."""
+
+    x: Optional[np.ndarray]     # decision variables (user order), float64
+    fun: Optional[float]        # min-form objective (scipy convention)
+    status: int                 # 0 optimal / 1 iter-limit / 2 infeasible / 3 unbounded
+    success: bool
+    message: str
+    nit: int                    # pivot iterations
+    basis: Optional[np.ndarray] = None  # final basis column indices
+    z: Optional[float] = None   # objective in the USER sense (max ⇒ -fun)
+    solve_time: float = 0.0
+
+    def variable_values(self, variables: List[str]) -> Dict[str, float]:
+        return {v: float(self.x[i]) for i, v in enumerate(variables)}
+
+
+def _refine_on_host(sf: StandardForm, lp: LinearProgram,
+                    basis: np.ndarray) -> Optional[np.ndarray]:
+    """Re-solve the final basis system in float64 on the host.
+
+    The f32 device loop decides *which* basis is optimal; this recovers the
+    exact vertex for that basis: ``B x_B = b`` with B the basic columns of the
+    float64 standard-form matrix.
+    """
+    m = sf.n_rows
+    basis = np.asarray(basis[:m], dtype=np.int64)
+    if np.any(basis >= sf.n_cols):  # a padding column is basic → bail out
+        return None
+
+    # Rebuild the float64 initial tableau columns (compile once more in f64).
+    sf64 = compile_standard_form(lp, dtype=np.float64)
+    A_full = sf64.tableau[:m, : sf.n_cols]
+    b = sf64.tableau[:m, sf64.n_pad]
+    B = A_full[:, basis]
+    try:
+        x_b = np.linalg.solve(B, b)
+    except np.linalg.LinAlgError:
+        x_b, *_ = np.linalg.lstsq(B, b, rcond=None)
+    if not np.all(np.isfinite(x_b)):
+        return None
+    x = np.zeros((sf.n_cols,), dtype=np.float64)
+    x[basis] = x_b
+    return x
+
+
+def solve_lp(lp: LinearProgram,
+             config: SolverConfig = DEFAULT_CONFIG) -> SimplexResult:
+    """Solve one LP with the jitted two-phase dense tableau simplex."""
+    t0 = time.perf_counter()
+    dtype = np.dtype(config.dtype)
+
+    if lp.n_cons == 0:
+        # No constraints: optimum is x=0 unless some cost direction improves,
+        # in which case the LP is unbounded (x >= 0 only). Mirrors the
+        # reference's unbounded/no-constraint regression tests.
+        c_min = -lp.c if lp.maximize else lp.c
+        if np.any(c_min < 0):
+            return SimplexResult(x=None, fun=None, status=3, success=False,
+                                 message=STATUS_MESSAGES[3], nit=0)
+        x = np.zeros((lp.n_vars,))
+        return SimplexResult(x=x, fun=0.0, status=0, success=True,
+                             message=STATUS_MESSAGES[0], nit=0,
+                             z=0.0, solve_time=time.perf_counter() - t0)
+
+    sf = compile_standard_form(
+        lp,
+        row_pad=_bucket(lp.n_cons),
+        col_pad=_bucket(lp.n_cons + 2 * lp.n_cons + lp.n_vars, 16),
+        dtype=dtype,
+    )
+
+    max_iters = min(config.max_iters, 50 * (sf.m_pad + sf.n_pad))
+    # Bland's rule must engage well before the iteration cap, or cycling can
+    # burn the whole budget under Dantzig pricing (anti-cycling guarantee).
+    bland_after = min(config.bland_after, max_iters // 2)
+    T, basis, status, iters = tableau_ops.solve_tableau(
+        jnp.asarray(sf.tableau),
+        jnp.asarray(sf.basis),
+        jnp.asarray(sf.col_mask_p1),
+        jnp.asarray(sf.col_mask_p2),
+        jnp.asarray(sf.obj_row_p1),
+        jnp.asarray(sf.obj_row_p2),
+        need_phase1=sf.need_phase1,
+        tol=float(config.tol if dtype == np.float64 else max(config.tol, 1e-6)),
+        max_iters=int(max_iters),
+        bland_after=int(bland_after),
+    )
+    status = int(status)
+    basis_np = np.asarray(basis)
+    nit = int(iters)
+
+    if status != STATUS_OPTIMAL:
+        return SimplexResult(
+            x=None, fun=None, status=status, success=False,
+            message=STATUS_MESSAGES.get(status, "Unknown status."),
+            nit=nit, basis=basis_np,
+            solve_time=time.perf_counter() - t0,
+        )
+
+    x_dev, z_min_dev = tableau_ops.extract_solution(T, basis, sf.n_vars)
+    x = np.asarray(x_dev, dtype=np.float64)
+    c_min = -lp.c if lp.maximize else lp.c
+    fun = float(np.asarray(z_min_dev))
+
+    if config.refine:
+        x_full = _refine_on_host(sf, lp, basis_np)
+        if x_full is not None and np.all(x_full[: sf.n_cols] >= -1e-7):
+            x = x_full[: lp.n_vars]
+            fun = float(c_min @ x)
+
+    z_user = (-fun if lp.maximize else fun) + 0.0  # +0.0 normalizes -0.0
+    return SimplexResult(
+        x=np.maximum(x, 0.0),  # clamp -0.0 / tiny negatives from refinement
+        fun=fun, status=0, success=True,
+        message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=nit,
+        basis=basis_np, z=z_user,
+        solve_time=time.perf_counter() - t0,
+    )
+
+
+class DenseSimplexSolver:
+    """Object-style facade over :func:`solve_lp`."""
+
+    def __init__(self, config: SolverConfig = DEFAULT_CONFIG):
+        self.config = config
+
+    def solve(self, lp: LinearProgram) -> SimplexResult:
+        return solve_lp(lp, self.config)

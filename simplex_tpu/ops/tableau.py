@@ -1,0 +1,360 @@
+"""Dense tableau-simplex kernels (single-chip, jitted, static shapes).
+
+This module is the TPU-native replacement for both of the reference's solve
+engines: scipy/HiGHS's C++ dual simplex (``solver_controller.py:78-85``) and
+the pure-Python ``simple_simplex`` tableau loop (``:290-319``).  Everything is
+expressed as masked, fixed-shape JAX so it compiles once per shape bucket and
+runs entirely on device:
+
+* Dantzig pricing  = masked argmin over the reduced-cost row,
+  with a Bland's-rule fallback after ``bland_after`` iterations (anti-cycling);
+* ratio test       = masked argmin with basis-index tie-breaking;
+* pivot update     = rank-1 row-reduction over the whole tableau
+  (the HBM-bound hot op — see ``ops/pallas_pivot.py`` for the fused kernel);
+* two phases       = phase 1 minimizes artificial infeasibility, phase 2 the
+  real objective with artificial columns masked out.
+
+Tableau convention (min form): ``T[:-1]`` are constraint rows with RHS in the
+last column; ``T[-1]`` holds reduced costs with ``T[-1, -1] == -z``.
+Optimality: all masked reduced costs ≥ -tol.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.problem import (
+    STATUS_INFEASIBLE,
+    STATUS_ITERATION_LIMIT,
+    STATUS_OPTIMAL,
+    STATUS_UNBOUNDED,
+)
+
+RUNNING = -1  # internal sentinel while the pivot loop is active
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def select_pivot(T, basis, col_mask, tol, use_bland):
+    """Choose the entering column and leaving row.
+
+    Returns ``(col, row, optimal, unbounded)``.  Data-dependent control flow is
+    expressed as masked argmins so the whole step stays inside one XLA program
+    (SURVEY.md §7 "degeneracy & cycling ... masked argmins").
+    """
+    rc = jnp.where(col_mask, T[-1, :-1], jnp.inf)
+    eligible = rc < -tol
+
+    s_dantzig = jnp.argmin(rc)
+    s_bland = jnp.argmax(eligible)  # first eligible index
+    s = jnp.where(use_bland, s_bland, s_dantzig)
+
+    optimal = ~jnp.any(eligible)
+
+    col = T[:-1, s]
+    rhs = T[:-1, -1]
+    positive = col > tol
+    ratios = jnp.where(positive, rhs / jnp.where(positive, col, 1.0), jnp.inf)
+    min_ratio = jnp.min(ratios)
+    unbounded = (~optimal) & jnp.isinf(min_ratio)
+
+    # Tie-break near-minimal ratios by smallest basis index (Bland on rows).
+    # The tie window must be at round-off scale (NOT the optimality tol):
+    # admitting a strictly larger ratio would drive a basic variable negative
+    # and void both primal feasibility and Bland's termination guarantee.
+    eps = jnp.finfo(T.dtype).eps
+    near = ratios <= min_ratio + 64.0 * eps * (1.0 + jnp.abs(min_ratio))
+    tie_key = jnp.where(near & positive, basis, _INT_MAX)
+    r = jnp.argmin(tie_key)
+    return s, r, optimal, unbounded
+
+
+def pivot_update(T, basis, r, s):
+    """Rank-1 row-reduction pivot: eliminate column ``s`` against row ``r``.
+
+    This is the per-iteration O(m·n) HBM-bound operation that BASELINE.json
+    targets at ≥80% of roofline.
+    """
+    pivot = T[r, s]
+    piv_row = T[r] * (1.0 / pivot)
+    col = T[:, s]
+    T_new = T - col[:, None] * piv_row[None, :]
+    T_new = T_new.at[r].set(piv_row)
+    # Exact unit column for numerical hygiene.
+    unit = jnp.zeros((T.shape[0],), T.dtype).at[r].set(1.0)
+    T_new = T_new.at[:, s].set(unit)
+    basis = basis.at[r].set(s.astype(basis.dtype))
+    return T_new, basis
+
+
+def refactor_tableau(T0_rows, basis, raw_obj):
+    """Recompute the tableau exactly from the original data and current basis.
+
+    ``T_rows = B⁻¹ · T0_rows`` with ``B = T0_rows[:, basis]`` (dense LU solve
+    on device — MXU work), then re-price the raw objective row.  This bounds
+    float32 round-off drift over long pivot sequences — the same role
+    basis refactorization plays in production simplex codes (cf. PAPERS.md
+    revised-simplex references).  Falls back to the old tableau if the basis
+    matrix is numerically singular.
+    """
+    B = jnp.take(T0_rows, basis, axis=1)
+    T_rows = jnp.linalg.solve(B, T0_rows)
+    obj = raw_obj - raw_obj[basis] @ T_rows
+    T_new = jnp.concatenate([T_rows, obj[None, :]], axis=0)
+    return T_new
+
+
+def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
+               tol, max_iters, bland_after, refactor_every, iters0):
+    """Pivot until optimal/unbounded/iteration-cap via ``lax.while_loop``.
+
+    Numerics: the tableau is refactorized from the original data every
+    ``refactor_every`` pivots, and a terminal verdict (optimal/unbounded) is
+    only accepted when the tableau is freshly refactorized — otherwise the
+    loop refactorizes and re-tests ("confirm before exit").
+    """
+
+    def cond(state):
+        _, _, iters, status, _, _, _ = state
+        return (status == RUNNING) & (iters < max_iters)
+
+    def body(state):
+        T, basis, iters, _, since_ref, stall, best_obj = state
+        use_bland = iters >= bland_after
+        s, r, optimal, unbounded = select_pivot(T, basis, col_mask, tol, use_bland)
+        want_stop = optimal | unbounded
+        fresh = since_ref == 0
+
+        # branch 0: accept terminal verdict; 1: refactorize and re-test;
+        # branch 2: pivot.  A marginal reduced cost (≈ -tol) can flip the
+        # verdict back and forth across refactorizations forever (degenerate
+        # livelock); ``stall`` counts confirm-refactors with no objective
+        # improvement and forces acceptance after 3.
+        accept_now = want_stop & (fresh | (stall >= 3))
+        branch = jnp.where(
+            accept_now, 0,
+            jnp.where(want_stop | (since_ref >= refactor_every), 1, 2),
+        )
+
+        def accept(args):
+            T, basis, since_ref = args
+            return T, basis, since_ref
+
+        def do_refactor(args):
+            T, basis, _ = args
+            T_new = refactor_tableau(T0_rows, basis, raw_obj)
+            ok = jnp.all(jnp.isfinite(T_new))
+            T = jnp.where(ok, T_new, T)
+            return T, basis, jnp.int32(0)
+
+        def do_pivot(args):
+            T, basis, since_ref = args
+            T, basis = pivot_update(T, basis, r, s)
+            return T, basis, since_ref + 1
+
+        T, basis, since_ref = lax.switch(
+            branch, [accept, do_refactor, do_pivot], (T, basis, since_ref)
+        )
+        obj = -T[-1, -1]
+        improved = obj < best_obj - tol * (1.0 + jnp.abs(best_obj))
+        stall = jnp.where(improved, 0, stall + ((branch == 1) & want_stop))
+        best_obj = jnp.minimum(best_obj, obj)
+        status = jnp.where(
+            branch == 0,
+            jnp.where(optimal, STATUS_OPTIMAL, STATUS_UNBOUNDED),
+            RUNNING,
+        )
+        iters = iters + (branch == 2).astype(iters.dtype)
+        return T, basis, iters, status, since_ref, stall, best_obj
+
+    # since_ref starts beyond the period so the very first verdict is also
+    # confirmed against a fresh refactorization.
+    T, basis, iters, status, _, _, _ = lax.while_loop(
+        cond, body,
+        (T, basis, iters0, jnp.int32(RUNNING), jnp.int32(1), jnp.int32(0),
+         jnp.asarray(jnp.inf, T.dtype)),
+    )
+    status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
+    return T, basis, iters, status
+
+
+def _price_out(T, basis, obj_row):
+    """Install ``obj_row`` as the objective and price out the current basis.
+
+    obj2 = obj_row - costs[basis] @ T_rows — a vec×mat contraction (MXU work).
+    """
+    # ``basis`` may point at the RHS slot (dummy padding rows); that entry of
+    # ``obj_row`` is zero, so the gather is safe without masking.
+    basis_costs = obj_row[basis]
+    obj2 = obj_row - basis_costs @ T[:-1]
+    return T.at[-1].set(obj2)
+
+
+def _evict_artificials(T, basis, art_mask_ext, col_mask_p2, tol):
+    """Pivot basic artificials out of the basis where possible.
+
+    After phase 1, an artificial may remain basic at value zero.  For each such
+    row, pivot on any eligible real column with a nonzero entry; if the row is
+    all-zero on real columns it is redundant and left in place (it can never be
+    selected by the ratio test afterwards).
+    """
+    m_rows = T.shape[0] - 1
+
+    def body(i, state):
+        T, basis = state
+        is_art = art_mask_ext[basis[i]]
+        row = lax.dynamic_slice_in_dim(T, i, 1, axis=0)[0]
+        cand = col_mask_p2 & (jnp.abs(row[:-1]) > tol)
+        j = jnp.argmax(cand)
+        can_pivot = is_art & jnp.any(cand)
+
+        def do(args):
+            T, basis = args
+            return pivot_update(T, basis, i, j)
+
+        return lax.cond(can_pivot, do, lambda a: a, (T, basis))
+
+    return lax.fori_loop(0, m_rows, body, (T, basis))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("need_phase1", "tol", "max_iters", "bland_after",
+                     "feas_tol", "refactor_every"),
+)
+def solve_tableau(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p1, obj_row_p2,
+                  need_phase1: bool, tol: float = 1e-6,
+                  max_iters: int = 16384, bland_after: int = 2048,
+                  feas_tol: float = 1e-5, refactor_every: int = 64):
+    """Full two-phase dense simplex solve on one padded tableau.
+
+    Returns ``(T, basis, status, iters)`` with scipy-compatible status codes
+    (0 optimal, 1 iteration limit, 2 infeasible, 3 unbounded).
+    """
+    b_scale = 1.0 + jnp.max(jnp.abs(T0[:-1, -1]))
+    iters0 = jnp.int32(0)
+    T0_rows = T0[:-1]  # original constraint rows — refactorization anchor
+
+    if need_phase1:
+        T, basis, iters, status = _run_phase(
+            T0, basis0, col_mask_p1, T0_rows, obj_row_p1,
+            tol, max_iters, bland_after, refactor_every, iters0
+        )
+        phase1_obj = -T[-1, -1]
+        infeasible = phase1_obj > feas_tol * b_scale
+        art_mask_ext = jnp.concatenate(
+            [col_mask_p1 & ~col_mask_p2, jnp.zeros((1,), bool)]
+        )
+        T, basis = _evict_artificials(T, basis, art_mask_ext, col_mask_p2, tol)
+        # Phase-1 "unbounded" cannot happen (objective bounded below by 0);
+        # treat any non-optimal terminal state as the reported status.
+        hard_fail = (status != STATUS_OPTIMAL)
+    else:
+        T, basis, iters = T0, basis0, iters0
+        infeasible = jnp.bool_(False)
+        hard_fail = jnp.bool_(False)
+        status = jnp.int32(STATUS_OPTIMAL)
+
+    T = _price_out(T, basis, obj_row_p2)
+    T2, basis2, iters2, status2 = _run_phase(
+        T, basis, col_mask_p2, T0_rows, obj_row_p2,
+        tol, max_iters, bland_after, refactor_every, iters
+    )
+
+    final_status = jnp.where(
+        infeasible, STATUS_INFEASIBLE, jnp.where(hard_fail, status, status2)
+    )
+    return T2, basis2, final_status, iters2
+
+
+def extract_solution(T, basis, n_vars: int):
+    """Recover decision variables and the min-form objective from a tableau."""
+    rhs = T[:-1, -1]
+    onehot = basis[:, None] == jnp.arange(n_vars, dtype=basis.dtype)[None, :]
+    x = jnp.sum(jnp.where(onehot, rhs[:, None], jnp.zeros_like(rhs)[:, None]),
+                axis=0)
+    z_min = -T[-1, -1]
+    return x, z_min
+
+
+# --------------------------------------------------------------------------- #
+# History-capturing variant: fixed-length lax.scan emitting tableau snapshots #
+# (the simple_simplex ``pivotSteps`` contract, solver_controller.py:290-363)  #
+# --------------------------------------------------------------------------- #
+@functools.partial(
+    jax.jit,
+    static_argnames=("need_phase1", "tol", "max_steps", "bland_after"),
+)
+def solve_tableau_history(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p2,
+                          need_phase1: bool, tol: float = 1e-6,
+                          max_steps: int = 64, bland_after: int = 2048):
+    """Two-phase solve that records every pivot.
+
+    Returns ``(T, basis, status, snapshots, pivots, valid)`` where
+    ``snapshots[k]`` is the tableau BEFORE pivot k (so snapshot 0 is the
+    initial tableau), ``pivots[k] = (row, col)`` the pivot applied to it, and
+    ``valid[k]`` marks live steps.  Capped at ``max_steps`` — history capture
+    is a presentation feature for small problems, exactly like the reference's
+    simple_simplex Plan B.
+    """
+
+    def make_step(phase_idx):
+        def step(carry, _):
+            T, basis, status, iters = carry
+            col_mask = col_mask_p1 if phase_idx == 1 else col_mask_p2
+            use_bland = iters >= bland_after
+            s, r, optimal, unbounded = select_pivot(
+                T, basis, col_mask, tol, use_bland
+            )
+            live = status == RUNNING
+            new_status = jnp.where(
+                ~live, status,
+                jnp.where(optimal, STATUS_OPTIMAL,
+                          jnp.where(unbounded, STATUS_UNBOUNDED, RUNNING)),
+            )
+            do = live & (new_status == RUNNING)
+
+            def do_pivot(args):
+                T, basis = args
+                return pivot_update(T, basis, r, s)
+
+            T_next, basis_next = lax.cond(do, do_pivot, lambda a: a, (T, basis))
+            iters = iters + do.astype(iters.dtype)
+            out = (T, jnp.where(do, r, -1), jnp.where(do, s, -1), do)
+            return (T_next, basis_next, new_status, iters), out
+
+        return step
+
+    state = (T0, basis0, jnp.int32(RUNNING), jnp.int32(0))
+    if need_phase1:
+        state, hist1 = lax.scan(make_step(1), state, None, length=max_steps)
+        T, basis, status, iters = state
+        infeasible = -T[-1, -1] > 1e-4 * (1.0 + jnp.max(jnp.abs(T0[:-1, -1])))
+        art_mask_ext = jnp.concatenate(
+            [col_mask_p1 & ~col_mask_p2, jnp.zeros((1,), bool)]
+        )
+        T, basis = _evict_artificials(T, basis, art_mask_ext, col_mask_p2, tol)
+        status = jnp.where(infeasible, STATUS_INFEASIBLE,
+                           jnp.where(status == STATUS_OPTIMAL, RUNNING, status))
+        state = (_price_out(T, basis, obj_row_p2), basis, status, iters)
+    else:
+        hist1 = None
+        T, basis, status, iters = state
+        state = (_price_out(T, basis, obj_row_p2), basis, status, iters)
+
+    state, hist2 = lax.scan(make_step(2), state, None, length=max_steps)
+    T, basis, status, _ = state
+    status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
+
+    if hist1 is not None:
+        snaps = jnp.concatenate([hist1[0], hist2[0]], axis=0)
+        rows = jnp.concatenate([hist1[1], hist2[1]], axis=0)
+        cols = jnp.concatenate([hist1[2], hist2[2]], axis=0)
+        valid = jnp.concatenate([hist1[3], hist2[3]], axis=0)
+    else:
+        snaps, rows, cols, valid = hist2
+
+    return T, basis, status, snaps, jnp.stack([rows, cols], axis=-1), valid
