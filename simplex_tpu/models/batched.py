@@ -1,0 +1,288 @@
+"""Batched LP solving: thousands of independent instances per chip.
+
+BASELINE config 2 ("batch of 10k random dense feasible LPs vmapped on one
+chip").  The reference has no analogue — it solves one LP per request; this
+is the TPU-native scale axis (SURVEY.md §5.7).
+
+Two entry points:
+
+* :func:`solve_lp_batch` — list of heterogeneous :class:`LinearProgram`s,
+  padded to a shared bucket shape (host loop; convenience path).
+* :func:`BatchedSimplexSolver.solve_arrays` — uniform-shape array batch
+  ``(c: (B,n), A: (B,m,n), b: (B,m), ops: (m,))``, compiled fully
+  vectorized on host and solved in one device call (performance path).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SolverConfig, DEFAULT_CONFIG
+from ..core.problem import (
+    OP_EQ,
+    OP_LE,
+    LinearProgram,
+    STATUS_OPTIMAL,
+    compile_standard_form,
+)
+from ..ops import batched as batched_ops
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Vectorized result of a batched solve."""
+
+    x: np.ndarray          # (B, n) decision variables (user order)
+    z: np.ndarray          # (B,) objective in the user sense
+    fun: np.ndarray        # (B,) min-form objective
+    status: np.ndarray     # (B,) int32 scipy-compatible codes
+    success: np.ndarray    # (B,) bool
+    nit: int               # shared loop trip count
+    solve_time: float = 0.0
+
+    @property
+    def n_optimal(self) -> int:
+        return int(np.sum(self.status == STATUS_OPTIMAL))
+
+
+@dataclasses.dataclass
+class CompiledBatch:
+    """Host-compiled batch ready for ``ops.batched.solve_tableau_batch``."""
+
+    T0: np.ndarray          # (B, m_pad+1, n_pad+1)
+    basis: np.ndarray       # (B, m_pad)
+    col_mask_p1: np.ndarray
+    col_mask_p2: np.ndarray
+    obj_row_p1: np.ndarray
+    obj_row_p2: np.ndarray
+    need_p1: np.ndarray     # (B,)
+    n_vars: int
+    maximize: np.ndarray    # (B,) bool
+
+
+def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
+                          ops: np.ndarray, maximize,
+                          row_pad: int = 8, col_pad: int = 128,
+                          dtype=np.float32) -> CompiledBatch:
+    """Vectorized standard-form compilation for a uniform-shape batch.
+
+    All instances share the constraint-operator vector ``ops`` (shape (m,)),
+    so the slack/artificial column layout is identical across the batch and
+    the whole tableau assembly is pure numpy broadcasting — no Python loop
+    over instances.  ``maximize`` may be a scalar or a (B,) bool array.
+    """
+    c = np.asarray(c, np.float64)
+    A = np.asarray(A, np.float64)
+    b = np.asarray(b, np.float64)
+    ops = np.asarray(ops, np.int64)
+    B, m, n = A.shape
+    maximize = np.broadcast_to(np.asarray(maximize, bool), (B,)).copy()
+
+    c_min = np.where(maximize[:, None], -c, c)
+
+    # Row normalization: flip rows with negative rhs (flips the operator).
+    neg = b < 0                                    # (B, m)
+    A = np.where(neg[:, :, None], -A, A)
+    b = np.where(neg, -b, b)
+    ops_b = np.where(neg, -ops[None, :], ops[None, :])   # (B, m)
+
+    # Column layout is operator-dependent and ops_b varies per instance when
+    # rows were flipped, so build per-instance layouts via vectorized masks:
+    # every inequality row gets a slack slot; every row gets an artificial
+    # slot.  Unused artificial slots (<= rows) are masked out per instance.
+    # This keeps the layout uniform: slack i at n+i, artificial i at n+m+i.
+    n_cols = n + m + m
+    m_pad = max(_round_up(m, row_pad), row_pad)
+    n_pad = max(_round_up(n_cols + (m_pad - m), 8), col_pad)
+
+    T = np.zeros((B, m_pad + 1, n_pad + 1), dtype=np.float64)
+    T[:, :m, :n] = A
+    T[:, :m, n_pad] = b
+
+    is_ineq = ops_b != OP_EQ                       # (B, m)
+    is_le = ops_b == OP_LE
+    sign = np.where(is_le, 1.0, -1.0) * is_ineq    # slack/surplus sign
+    rows = np.arange(m)
+    T[:, rows, n + rows] = sign
+
+    # Artificials: needed for >= and = rows.
+    need_art = ~is_le                              # (B, m)
+    T[:, rows, n + m + rows] = need_art.astype(np.float64)
+
+    basis = np.where(is_le, n + rows[None, :], n + m + rows[None, :])
+    basis = basis.astype(np.int32)                 # (B, m)
+
+    basis_full = np.zeros((B, m_pad), np.int32)
+    basis_full[:, :m] = basis
+    # Padding rows: dedicated unit columns so the basis stays invertible.
+    pad_rows = np.arange(m, m_pad)
+    pad_cols = n_cols + (pad_rows - m)
+    T[:, pad_rows, pad_cols] = 1.0
+    basis_full[:, m:] = pad_cols[None, :].astype(np.int32)
+
+    col_valid = np.zeros((B, n_pad), bool)
+    col_valid[:, :n] = True
+    col_valid[:, n:n + m] = is_ineq                # live slack columns
+    art_live = np.zeros((B, n_pad), bool)
+    art_live[:, n + m:n + 2 * m] = need_art
+    col_mask_p1 = col_valid | art_live
+    col_mask_p2 = col_valid
+
+    need_p1 = need_art.any(axis=1)
+
+    obj_row_p1 = np.zeros((B, n_pad + 1), np.float64)
+    obj_row_p1[:, n + m:n + 2 * m] = need_art.astype(np.float64)
+    obj_row_p2 = np.zeros((B, n_pad + 1), np.float64)
+    obj_row_p2[:, :n] = c_min
+
+    # Phase-1 objective row (priced out): r = -sum over artificial rows,
+    # zero on the artificial columns themselves.
+    art_rows_sum = np.einsum("bm,bmn->bn", need_art.astype(np.float64),
+                             T[:, :m, :])
+    obj1 = -art_rows_sum
+    obj1[:, n + m:n + 2 * m] = 0.0
+    # Instances with no artificials start directly in phase 2: install the
+    # priced-out phase-2 objective (initial basis is all-slack, cost 0, so
+    # the raw row is already priced out).
+    T[:, m_pad, :] = np.where(need_p1[:, None], obj1, obj_row_p2)
+
+    return CompiledBatch(
+        T0=T.astype(dtype),
+        basis=basis_full,
+        col_mask_p1=col_mask_p1,
+        col_mask_p2=col_mask_p2,
+        obj_row_p1=obj_row_p1.astype(dtype),
+        obj_row_p2=obj_row_p2.astype(dtype),
+        need_p1=need_p1,
+        n_vars=n,
+        maximize=maximize,
+    )
+
+
+def _run_batch(cb: CompiledBatch, config: SolverConfig,
+               max_iters: Optional[int] = None) -> BatchResult:
+    import time
+    t0 = time.perf_counter()
+    m_pad = cb.basis.shape[1]
+    n_pad = cb.col_mask_p1.shape[1]
+    if max_iters is None:
+        max_iters = min(config.max_iters, 50 * (m_pad + n_pad))
+    bland_after = min(config.bland_after, max_iters // 2)
+
+    T, basis, status, iters = batched_ops.solve_tableau_batch(
+        jnp.asarray(cb.T0), jnp.asarray(cb.basis),
+        jnp.asarray(cb.col_mask_p1), jnp.asarray(cb.col_mask_p2),
+        jnp.asarray(cb.obj_row_p1), jnp.asarray(cb.obj_row_p2),
+        jnp.asarray(cb.need_p1),
+        tol=max(config.tol, 1e-6),
+        max_iters=int(max_iters),
+        bland_after=int(bland_after),
+    )
+    x, z_min = batched_ops.extract_solution_batch(T, basis, cb.n_vars)
+    x = np.maximum(np.asarray(x, np.float64), 0.0)
+    fun = np.asarray(z_min, np.float64)
+    status = np.asarray(status)
+    z = np.where(cb.maximize, -fun, fun) + 0.0
+    ok = status == STATUS_OPTIMAL
+    return BatchResult(
+        x=np.where(ok[:, None], x, np.nan),
+        z=np.where(ok, z, np.nan),
+        fun=np.where(ok, fun, np.nan),
+        status=status,
+        success=ok,
+        nit=int(iters),
+        solve_time=time.perf_counter() - t0,
+    )
+
+
+class BatchedSimplexSolver:
+    """Batched two-phase simplex over a shared padded shape."""
+
+    def __init__(self, config: SolverConfig = DEFAULT_CONFIG):
+        self.config = config
+
+    def solve_arrays(self, c, A, b, ops, maximize=True,
+                     dtype=None) -> BatchResult:
+        """Uniform-shape performance path: one device call for the batch."""
+        cb = compile_batch_uniform(
+            c, A, b, ops, maximize,
+            dtype=np.dtype(dtype or self.config.dtype),
+        )
+        return self._solve_compiled(cb)
+
+    def _solve_compiled(self, cb: CompiledBatch) -> BatchResult:
+        return _run_batch(cb, self.config)
+
+    def solve_many(self, lps: Sequence[LinearProgram]) -> BatchResult:
+        """Same-variable-count convenience path: pad instances to one bucket.
+
+        Constraint counts and operators may differ per instance; the number
+        of decision variables must match (solution extraction reads the
+        first ``n_vars`` columns of every instance).
+        """
+        assert lps, "empty batch"
+        n_vars = {lp.n_vars for lp in lps}
+        assert len(n_vars) == 1, (
+            f"solve_many requires a uniform variable count, got {n_vars}"
+        )
+        dtype = np.dtype(self.config.dtype)
+        sfs = [compile_standard_form(lp) for lp in lps]
+        m_pad = max(sf.m_pad for sf in sfs)
+        n_pad = max(sf.n_pad for sf in sfs)
+        B = len(sfs)
+
+        T0 = np.zeros((B, m_pad + 1, n_pad + 1), dtype)
+        basis = np.zeros((B, m_pad), np.int32)
+        cm1 = np.zeros((B, n_pad), bool)
+        cm2 = np.zeros((B, n_pad), bool)
+        o1 = np.zeros((B, n_pad + 1), dtype)
+        o2 = np.zeros((B, n_pad + 1), dtype)
+        need = np.zeros((B,), bool)
+        for i, sf in enumerate(sfs):
+            mp, np_ = sf.m_pad, sf.n_pad
+            T0[i, :mp, :np_] = sf.tableau[:mp, :np_]
+            T0[i, :mp, n_pad] = sf.tableau[:mp, np_]        # RHS column
+            T0[i, m_pad, :np_] = sf.tableau[mp, :np_]       # objective row
+            T0[i, m_pad, n_pad] = sf.tableau[mp, np_]
+            basis[i, :mp] = sf.basis
+            # Extra padding rows (mp..m_pad) need their own unit columns.
+            for k, row in enumerate(range(mp, m_pad)):
+                col = np_ + k
+                assert col < n_pad
+                T0[i, row, col] = 1.0
+                basis[i, row] = col
+            cm1[i, :np_] = sf.col_mask_p1
+            cm2[i, :np_] = sf.col_mask_p2
+            o1[i, :np_] = sf.obj_row_p1[:np_]
+            o1[i, n_pad] = sf.obj_row_p1[np_]
+            o2[i, :np_] = sf.obj_row_p2[:np_]
+            o2[i, n_pad] = sf.obj_row_p2[np_]
+            need[i] = sf.need_phase1
+            if not sf.need_phase1:
+                # compile_standard_form leaves the objective row zero when
+                # there is no phase 1; the batched kernel expects the
+                # phase-2 row pre-installed (all-slack basis has zero cost,
+                # so the raw row is already priced out).
+                T0[i, m_pad, :np_] = sf.obj_row_p2[:np_]
+                T0[i, m_pad, n_pad] = sf.obj_row_p2[np_]
+
+        cb = CompiledBatch(
+            T0=T0, basis=basis, col_mask_p1=cm1, col_mask_p2=cm2,
+            obj_row_p1=o1, obj_row_p2=o2, need_p1=need,
+            n_vars=sfs[0].n_vars,
+            maximize=np.array([lp.maximize for lp in lps]),
+        )
+        return self._solve_compiled(cb)
+
+
+def solve_lp_batch(lps: Sequence[LinearProgram],
+                   config: SolverConfig = DEFAULT_CONFIG) -> BatchResult:
+    """Convenience wrapper: batched solve of a list of LinearPrograms."""
+    return BatchedSimplexSolver(config).solve_many(lps)

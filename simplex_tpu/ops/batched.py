@@ -1,0 +1,250 @@
+"""Batched tableau-simplex kernel: one padded shape, many LP instances.
+
+The reference solves one LP per HTTP request (``solver_controller.py:53-120``);
+the TPU-native scale axis is **instance batching** (BASELINE config 2: 10k
+random 50x30 LPs vmapped on one chip).  Design notes:
+
+* One ``lax.while_loop`` advances ALL instances together; finished instances
+  are frozen by masking instead of exiting (SURVEY.md §7 "batched while_loop
+  efficiency").  The loop ends when every instance has a verdict or the
+  iteration cap is hit.
+* No data-dependent branching inside the body: periodic refactorization is
+  applied to every instance on the same schedule (a batched ``linalg.solve``
+  — MXU work), so there is no per-instance control-flow divergence.  Unlike
+  the single-LP kernel (ops/tableau.py), terminal verdicts are accepted
+  directly from the incrementally-updated tableau: confirm-refactors would
+  fire nearly every iteration at batch scale.  Drift control comes from the
+  periodic refactor plus optional float64 host refinement of each final
+  basis (models/batched.py).
+* The per-pivot update is a batched rank-1 row reduction over a
+  (B, m+1, n+1) tensor, fully vectorized.
+* Phases are fused: each instance carries a ``phase`` flag; pricing uses the
+  phase-appropriate objective row and column mask, and a phase-1→2 flip is a
+  masked artificial eviction + objective-row swap, not a host round-trip.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.problem import (
+    STATUS_INFEASIBLE,
+    STATUS_ITERATION_LIMIT,
+    STATUS_OPTIMAL,
+    STATUS_UNBOUNDED,
+)
+
+RUNNING = -1
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _select_pivot_b(T, basis, col_mask, tol, use_bland):
+    """Batched pivot selection. All inputs carry a leading batch axis.
+
+    T: (B, m+1, n+1); basis: (B, m); col_mask: (B, n).
+    Returns (s, r, optimal, unbounded) each of shape (B,).
+    """
+    rc = jnp.where(col_mask, T[:, -1, :-1], jnp.inf)
+    eligible = rc < -tol
+
+    s_dantzig = jnp.argmin(rc, axis=-1)
+    s_bland = jnp.argmax(eligible, axis=-1)
+    s = jnp.where(use_bland, s_bland, s_dantzig)
+
+    optimal = ~jnp.any(eligible, axis=-1)
+
+    col = jnp.take_along_axis(T[:, :-1, :], s[:, None, None], axis=2)[:, :, 0]
+    rhs = T[:, :-1, -1]
+    positive = col > tol
+    ratios = jnp.where(positive, rhs / jnp.where(positive, col, 1.0), jnp.inf)
+    min_ratio = jnp.min(ratios, axis=-1)
+    unbounded = (~optimal) & jnp.isinf(min_ratio)
+
+    eps = jnp.finfo(T.dtype).eps
+    near = ratios <= (min_ratio + 64.0 * eps * (1.0 + jnp.abs(min_ratio)))[:, None]
+    tie_key = jnp.where(near & positive, basis, _INT_MAX)
+    r = jnp.argmin(tie_key, axis=-1)
+    return s, r, optimal, unbounded
+
+
+def _pivot_update_b(T, basis, r, s, active):
+    """Batched masked rank-1 pivot: inactive instances pass through untouched."""
+    B, M, N = T.shape
+    piv_row = jnp.take_along_axis(T, r[:, None, None], axis=1)[:, 0, :]
+    pivot = jnp.take_along_axis(piv_row, s[:, None], axis=1)[:, 0]
+    safe_pivot = jnp.where(active & (jnp.abs(pivot) > 0), pivot, 1.0)
+    piv_row = piv_row / safe_pivot[:, None]
+
+    col = jnp.take_along_axis(T, s[:, None, None], axis=2)[:, :, 0]
+    T_new = T - col[:, :, None] * piv_row[:, None, :]
+
+    row_hot = jax.nn.one_hot(r, M, dtype=bool, axis=-1)          # (B, M)
+    T_new = jnp.where(row_hot[:, :, None], piv_row[:, None, :], T_new)
+    col_hot = jax.nn.one_hot(s, N, dtype=bool, axis=-1)          # (B, N)
+    unit = row_hot.astype(T.dtype)                               # (B, M)
+    T_new = jnp.where(col_hot[:, None, :], unit[:, :, None], T_new)
+
+    T_out = jnp.where(active[:, None, None], T_new, T)
+    basis_new = jnp.where(
+        active[:, None] & row_hot[:, :M - 1],      # drop the objective row
+        s[:, None].astype(basis.dtype), basis
+    )
+    return T_out, basis_new
+
+
+def _price_out_b(T, basis, obj_row):
+    """Batched objective install + price-out against the current basis."""
+    basis_costs = jnp.take_along_axis(obj_row, basis, axis=1)     # (B, m)
+    obj2 = obj_row - jnp.einsum("bm,bmn->bn", basis_costs, T[:, :-1, :])
+    return T.at[:, -1, :].set(obj2)
+
+
+def _evict_artificials_b(T, basis, art_mask_ext, col_mask_p2, tol):
+    """Batched post-phase-1 eviction of basic artificial columns."""
+    m_rows = T.shape[1] - 1
+
+    def body(i, state):
+        T, basis = state
+        is_art = jnp.take_along_axis(
+            art_mask_ext, basis[:, i][:, None], axis=1)[:, 0]
+        row = T[:, i, :-1]
+        cand = col_mask_p2 & (jnp.abs(row) > tol)
+        j = jnp.argmax(cand, axis=-1)
+        active = is_art & jnp.any(cand, axis=-1)
+        r = jnp.full_like(j, i)
+        return _pivot_update_b(T, basis, r, j, active)
+
+    return lax.fori_loop(0, m_rows, body, (T, basis))
+
+
+def _refactor_b(T, basis, T0_rows, raw_obj, active):
+    """Batched exact recomputation of tableaus from (T0, basis).
+
+    ``B = T0_rows[:, :, basis]`` per instance; a batched dense solve (MXU).
+    Instances that are inactive or whose basis matrix is singular keep their
+    incremental tableau.
+    """
+    Bmat = jnp.take_along_axis(T0_rows, basis[:, None, :], axis=2)
+    T_rows = jnp.linalg.solve(Bmat, T0_rows)
+    basis_costs = jnp.take_along_axis(raw_obj, basis, axis=1)
+    obj = raw_obj - jnp.einsum("bm,bmn->bn", basis_costs, T_rows)
+    T_new = jnp.concatenate([T_rows, obj[:, None, :]], axis=1)
+    ok = active & jnp.all(jnp.isfinite(T_new), axis=(1, 2))
+    return jnp.where(ok[:, None, None], T_new, T)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tol", "max_iters", "bland_after", "feas_tol",
+                     "refactor_every"),
+)
+def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
+                        obj_row_p1, obj_row_p2, need_p1,
+                        tol: float = 1e-6, max_iters: int = 4096,
+                        bland_after: int = 1024, feas_tol: float = 1e-5,
+                        refactor_every: int = 64):
+    """Solve a batch of LPs sharing one padded tableau shape.
+
+    Args:
+      T0:          (B, m+1, n+1) initial tableaus with the phase-1 objective
+                   row installed for instances needing artificials and the
+                   (priced-out) phase-2 row for the rest — as produced by
+                   ``models.batched.compile_batch``.
+      basis0:      (B, m) int32 initial basis.
+      col_mask_*:  (B, n) bool eligible-column masks per phase.
+      obj_row_*:   (B, n+1) raw cost rows (phase-1 artificial costs / min-form
+                   phase-2 costs).
+      need_p1:     (B,) bool — instance starts in phase 1.
+
+    Returns ``(T, basis, status, iters)``; ``status`` is per-instance with
+    scipy-compatible codes, ``iters`` the shared loop trip count.
+    """
+    Bsz = T0.shape[0]
+    b_scale = 1.0 + jnp.max(jnp.abs(T0[:, :-1, -1]), axis=1)
+    T0_rows = T0[:, :-1, :]
+    art_mask_ext = jnp.concatenate(
+        [col_mask_p1 & ~col_mask_p2, jnp.zeros((Bsz, 1), bool)], axis=1
+    )
+
+    phase0 = jnp.where(need_p1, jnp.int32(1), jnp.int32(2))
+
+    def cond(state):
+        _T, _basis, _phase, status, iters, _since = state
+        return jnp.any(status == RUNNING) & (iters < max_iters)
+
+    def body(state):
+        T, basis, phase, status, iters, since_ref = state
+        live = status == RUNNING
+        in_p1 = phase == 1
+        col_mask = jnp.where(in_p1[:, None], col_mask_p1, col_mask_p2)
+        raw_obj = jnp.where(in_p1[:, None], obj_row_p1, obj_row_p2)
+        use_bland = iters >= bland_after
+
+        # Periodic batched refactorization (drift control, all instances).
+        do_refactor = since_ref >= refactor_every
+        T = lax.cond(
+            do_refactor,
+            lambda T: _refactor_b(T, basis, T0_rows, raw_obj, live),
+            lambda T: T,
+            T,
+        )
+
+        s, r, optimal, unbounded = _select_pivot_b(T, basis, col_mask, tol,
+                                                   use_bland)
+        want_stop = (optimal | unbounded) & live
+
+        # --- Phase-1 completion --------------------------------------- #
+        p1_done = want_stop & in_p1
+        p1_obj = -T[:, -1, -1]
+        infeasible = p1_done & (p1_obj > feas_tol * b_scale)
+        to_p2 = p1_done & ~infeasible
+
+        T_ev, basis_ev = _evict_artificials_b(T, basis, art_mask_ext,
+                                              col_mask_p2, tol)
+        T_p2 = _price_out_b(T_ev, basis_ev, obj_row_p2)
+        T = jnp.where(to_p2[:, None, None], T_p2, T)
+        basis = jnp.where(to_p2[:, None], basis_ev, basis)
+        phase = jnp.where(to_p2, jnp.int32(2), phase)
+
+        # --- Terminal statuses ----------------------------------------- #
+        finish_p2 = want_stop & ~in_p1
+        status = jnp.where(
+            infeasible, STATUS_INFEASIBLE,
+            jnp.where(finish_p2 & optimal, STATUS_OPTIMAL,
+                      jnp.where(finish_p2 & unbounded, STATUS_UNBOUNDED,
+                                status)),
+        )
+
+        # --- Pivot all still-running, non-flipping instances ------------ #
+        active = (status == RUNNING) & ~to_p2 & live & ~optimal & ~unbounded
+        T, basis = _pivot_update_b(T, basis, r, s, active)
+
+        since_ref = jnp.where(do_refactor, jnp.int32(1), since_ref + 1)
+        return (T, basis, phase, status, iters + 1, since_ref)
+
+    state0 = (
+        T0, basis0, phase0,
+        jnp.full((Bsz,), RUNNING, jnp.int32),
+        jnp.int32(0), jnp.int32(1),
+    )
+    T, basis, phase, status, iters, _ = lax.while_loop(cond, body, state0)
+
+    # Final refactorization so reported objectives/solutions are drift-free.
+    raw_obj = jnp.where((phase == 1)[:, None], obj_row_p1, obj_row_p2)
+    T = _refactor_b(T, basis, T0_rows, raw_obj,
+                    jnp.ones((Bsz,), bool))
+    status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
+    return T, basis, status, iters
+
+
+def extract_solution_batch(T, basis, n_vars: int):
+    """Batched decision-variable recovery: x from basic rows' RHS."""
+    rhs = T[:, :-1, -1]                                           # (B, m)
+    onehot = basis[:, :, None] == jnp.arange(n_vars,
+                                             dtype=basis.dtype)[None, None, :]
+    x = jnp.sum(jnp.where(onehot, rhs[:, :, None], 0.0), axis=1)  # (B, n)
+    z_min = -T[:, -1, -1]
+    return x, z_min
