@@ -1,0 +1,87 @@
+"""Distributed-path tests on the 8-virtual-device CPU mesh (conftest.py).
+
+The reference has no distributed code to mirror (SURVEY.md §2.4); these
+tests validate the TPU-native row-block sharded solver against scipy and
+against the single-chip batched engine, plus the driver entry points.
+"""
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+import jax
+
+from simplex_tpu.parallel.sharded import make_mesh, solve_arrays_sharded
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+def _scipy_ref(c, A, b, ops, maximize):
+    A_ub, b_ub, A_eq, b_eq = [], [], [], []
+    for j in range(len(b)):
+        if ops[j] == -1:
+            A_ub.append(A[j]); b_ub.append(b[j])
+        elif ops[j] == 1:
+            A_ub.append(-A[j]); b_ub.append(-b[j])
+        else:
+            A_eq.append(A[j]); b_eq.append(b[j])
+    cs = np.asarray(c) * (-1 if maximize else 1)
+    return linprog(cs, A_ub=A_ub or None, b_ub=b_ub or None,
+                   A_eq=A_eq or None, b_eq=b_eq or None,
+                   method="highs", options={"presolve": False})
+
+
+@needs_8
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (4, 2)])
+def test_sharded_matches_scipy(mesh_shape):
+    mesh = make_mesh(batch=mesh_shape[0], row=mesh_shape[1])
+    rng = np.random.default_rng(5)
+    B, m, n = 4, 12, 6
+    A = rng.normal(size=(B, m, n)).round(2)
+    b = rng.uniform(-2, 9, size=(B, m)).round(2)
+    c = rng.normal(size=(B, n)).round(2)
+    ops = rng.choice([-1, 0, 1], size=m)
+    res = solve_arrays_sharded(c, A, b, ops, maximize=False, mesh=mesh)
+    for i in range(B):
+        ref = _scipy_ref(c[i], A[i], b[i], ops, False)
+        if ref.status == 0 and res["status"][i] == 0:
+            assert res["z"][i] == pytest.approx(ref.fun, rel=1e-3, abs=1e-3)
+        else:
+            assert ref.status == res["status"][i], i
+
+
+@needs_8
+def test_sharded_agrees_with_batched_engine():
+    from simplex_tpu.models.batched import BatchedSimplexSolver
+
+    mesh = make_mesh(batch=2, row=4)
+    rng = np.random.default_rng(7)
+    B, m, n = 6, 8, 5
+    A = rng.uniform(0.1, 2.0, size=(B, m, n))
+    b = rng.uniform(1.0, 8.0, size=(B, m))
+    c = rng.uniform(0.1, 2.0, size=(B, n))
+    ops = np.full((m,), -1)
+    sharded = solve_arrays_sharded(c, A, b, ops, maximize=True, mesh=mesh)
+    local = BatchedSimplexSolver().solve_arrays(c, A, b, ops, maximize=True)
+    np.testing.assert_array_equal(sharded["status"], local.status)
+    np.testing.assert_allclose(sharded["z"], local.z, rtol=1e-4, atol=1e-4)
+
+
+@needs_8
+def test_graft_entry_and_dryrun():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out[2].shape == (4,)          # per-instance statuses
+    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(4)
