@@ -53,18 +53,20 @@ def bench_pivot_update(size: int, iters: int):
     basis = jnp.arange(m, dtype=jnp.int32)
 
     upd = jax.jit(pivot_update)
-    r = jnp.int32(3)
-    s = jnp.int32(5)
     # Warmup / compile.
-    T1, b1 = upd(T, basis, r, s)
+    T1, b1 = upd(T, basis, jnp.int32(1), jnp.int32(2))
     T1.block_until_ready()
 
-    # Steady state: ping-pong between two tableaus to avoid donation games.
+    # Steady state with VARYING pivot positions: repeated identical
+    # dispatches can be elided/deduplicated upstream and report impossible
+    # bandwidths (observed >4 TB/s on a 819 GB/s part); varying (r, s) plus
+    # a final checksum defeats that.
+    rs = np.random.default_rng(1).integers(0, m, size=(iters, 2))
     t0 = time.perf_counter()
     Tc, bc = T1, b1
-    for _ in range(iters):
-        Tc, bc = upd(Tc, bc, r, s)
-    Tc.block_until_ready()
+    for r_i, s_i in rs:
+        Tc, bc = upd(Tc, bc, jnp.int32(r_i), jnp.int32(s_i))
+    float(jnp.sum(Tc))  # checksum forces full materialization
     dt = (time.perf_counter() - t0) / iters
 
     bytes_moved = 2.0 * (m + 1) * (n + 1) * 4  # read + write, f32

@@ -234,7 +234,10 @@ def solve_tableau_sharded(T_rows, basis, obj, col_mask_p1, col_mask_p2,
     Returns ``(T_rows, basis, obj, status, iters)`` with the same global
     shapes/shardings.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     spec_T = P("batch", "row", None)
     spec_rows = P("batch", "row")
@@ -248,7 +251,7 @@ def solve_tableau_sharded(T_rows, basis, obj, col_mask_p1, col_mask_p2,
         in_specs=(spec_T, spec_rows, spec_rep, spec_rep, spec_rep,
                   spec_rep, spec_rep, spec_rep, spec_b, spec_rows),
         out_specs=(spec_T, spec_rows, spec_rep, spec_b, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(T_rows, basis, obj, col_mask_p1, col_mask_p2, art_mask,
               obj_row_p1, obj_row_p2, need_p1, row_valid)

@@ -1,0 +1,221 @@
+"""Solution visualization: tableau HTML + interactive geometric view.
+
+Replaces the reference's two visualization engines (SURVEY.md §2.2):
+
+* ``_tableau_to_html`` static tables with the pivot cell highlighted red
+  (``solver_controller.py:257-287``) — reproduced here schema-compatible
+  (``table table-bordered table-striped`` classes, th/td layout, 4-dp).
+* gilp/plotly interactive 2D/3D feasible-region plot with iteration slider
+  (``solver_controller.py:208-249``; behavior per reference
+  ``docs/user_guide.md:192-219``: 2D for 2 vars, 3D for 3, tables only for
+  >=4).  plotly is not available here, so the interactive view is a
+  self-contained vanilla-JS + SVG widget: feasible-region polygon,
+  constraint lines, vertex path of the simplex iterations, and a slider
+  stepping through them.  No external JS dependencies.
+"""
+from __future__ import annotations
+
+import html as _html
+import itertools
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_PIVOT_STYLE = ('style="background-color:#fff0f0; color:#d00; '
+                'font-weight:bold;"')
+
+
+def tableau_to_html(table: List[List], pivot: Optional[Tuple[int, int]]) -> str:
+    """One history table (headers row + labeled rows) → HTML string."""
+    pr, pc = (pivot if pivot is not None else (-1, -1))
+    out = ['<table class="table table-bordered table-striped" '
+           'style="border:1px solid #ccc; justify-content:center; '
+           'float:none; margin-left:auto; margin-right:auto;">']
+    for r_idx, row in enumerate(table):
+        out.append("<tr>")
+        for c_idx, cell in enumerate(row):
+            tag = "th" if (c_idx == 0 or r_idx == 0) else "td"
+            style = ""
+            if r_idx == pr + 1 and c_idx == pc + 1:  # +1 skips header row/col
+                style = _PIVOT_STYLE
+            text = f"{cell:.4f}" if isinstance(cell, float) else str(cell)
+            out.append(f"<{tag} {style}>{_html.escape(text)}</{tag}>")
+        out.append("</tr>")
+    out.append("</table>")
+    return "".join(out)
+
+
+def tables_to_html(tables: List[Dict]) -> str:
+    """All history tables stacked with titles — the Plan-B static view."""
+    parts = []
+    for t in tables:
+        parts.append(f"<h4 style='text-align:center'>"
+                     f"{_html.escape(t['title'])}</h4>")
+        parts.append(tableau_to_html(t["table"], t.get("pivot")))
+    return "\n".join(parts)
+
+
+# --------------------------------------------------------------------------- #
+# Geometric view (2 variables): SVG feasible region + iteration slider        #
+# --------------------------------------------------------------------------- #
+def _feasible_vertices_2d(A: np.ndarray, b: np.ndarray,
+                          ops: np.ndarray) -> List[Tuple[float, float]]:
+    """Vertices of {x >= 0, A x (op) b} in 2-D via pairwise intersections."""
+    # Treat every constraint as a halfplane a.x <= b (>= rows negated;
+    # = rows become a +- pair).
+    planes = [(np.array([-1.0, 0.0]), 0.0), (np.array([0.0, -1.0]), 0.0)]
+    for i in range(len(b)):
+        if ops[i] == -1:
+            planes.append((A[i].astype(float), float(b[i])))
+        elif ops[i] == 1:
+            planes.append((-A[i].astype(float), -float(b[i])))
+        else:
+            planes.append((A[i].astype(float), float(b[i])))
+            planes.append((-A[i].astype(float), -float(b[i])))
+
+    verts = []
+    for (a1, b1), (a2, b2) in itertools.combinations(planes, 2):
+        M = np.array([a1, a2])
+        if abs(np.linalg.det(M)) < 1e-12:
+            continue
+        x = np.linalg.solve(M, np.array([b1, b2]))
+        if all(a @ x <= bb + 1e-7 * (1 + abs(bb)) for a, bb in planes):
+            verts.append((float(x[0]), float(x[1])))
+    # Deduplicate and order counter-clockwise around the centroid.
+    uniq = []
+    for v in verts:
+        if not any(abs(v[0] - u[0]) + abs(v[1] - u[1]) < 1e-7 for u in uniq):
+            uniq.append(v)
+    if len(uniq) >= 3:
+        cx = sum(v[0] for v in uniq) / len(uniq)
+        cy = sum(v[1] for v in uniq) / len(uniq)
+        uniq.sort(key=lambda v: np.arctan2(v[1] - cy, v[0] - cx))
+    return uniq
+
+
+def geometric_view_2d(A, b, ops, c, maximize: bool,
+                      path: Sequence[Tuple[float, float]],
+                      variables: Sequence[str]) -> str:
+    """Self-contained SVG+JS widget for a 2-variable LP."""
+    A = np.asarray(A, float).reshape(len(b), 2)
+    b = np.asarray(b, float)
+    ops = np.asarray(ops)
+    verts = _feasible_vertices_2d(A, b, ops)
+
+    pts = list(verts) + [tuple(map(float, p)) for p in path]
+    if not pts:
+        pts = [(0.0, 0.0), (1.0, 1.0)]
+    xs = [p[0] for p in pts] + [0.0]
+    ys = [p[1] for p in pts] + [0.0]
+    span_x = max(xs) - min(xs) or 1.0
+    span_y = max(ys) - min(ys) or 1.0
+    x0, x1 = min(xs) - 0.15 * span_x, max(xs) + 0.15 * span_x
+    y0, y1 = min(ys) - 0.15 * span_y, max(ys) + 0.15 * span_y
+
+    data = {
+        "vertices": verts,
+        "path": [list(map(float, p)) for p in path],
+        "constraints": [
+            {"a": A[i].tolist(), "op": {-1: "<=", 0: "=", 1: ">="}[int(ops[i])],
+             "b": float(b[i])}
+            for i in range(len(b))
+        ],
+        "objective": list(map(float, c)),
+        "maximize": bool(maximize),
+        "view": [x0, y0, x1, y1],
+        "vars": list(variables),
+    }
+    payload = json.dumps(data)
+    return _GEO2D_TEMPLATE.replace("__DATA__", payload)
+
+
+_GEO2D_TEMPLATE = """
+<div class="stx-geo" style="max-width:720px;margin:0 auto;text-align:center">
+  <svg id="stx-svg" viewBox="0 0 640 480" width="100%"
+       style="background:#fcfcfe;border:1px solid #ddd;border-radius:6px"></svg>
+  <div style="margin-top:8px">
+    <input type="range" id="stx-slider" min="0" value="0" style="width:60%">
+    <span id="stx-label" style="font-family:monospace"></span>
+  </div>
+</div>
+<script>
+(function() {
+  const D = __DATA__;
+  const svg = document.getElementById('stx-svg');
+  const NS = 'http://www.w3.org/2000/svg';
+  const [x0, y0, x1, y1] = D.view;
+  const W = 640, H = 480, PAD = 46;
+  const sx = x => PAD + (x - x0) / (x1 - x0) * (W - 2*PAD);
+  const sy = y => H - PAD - (y - y0) / (y1 - y0) * (H - 2*PAD);
+  function el(tag, attrs, parent) {
+    const e = document.createElementNS(NS, tag);
+    for (const k in attrs) e.setAttribute(k, attrs[k]);
+    (parent || svg).appendChild(e); return e;
+  }
+  // axes
+  el('line', {x1: sx(Math.max(x0,0)), y1: sy(y0), x2: sx(Math.max(x0,0)),
+              y2: sy(y1), stroke: '#999'});
+  el('line', {x1: sx(x0), y1: sy(Math.max(y0,0)), x2: sx(x1),
+              y2: sy(Math.max(y0,0)), stroke: '#999'});
+  const lx = el('text', {x: W-10, y: sy(Math.max(y0,0))-6, 'text-anchor':'end',
+                         'font-size':'12', fill:'#666'}); lx.textContent = D.vars[0];
+  const ly = el('text', {x: sx(Math.max(x0,0))+8, y: 14, 'font-size':'12',
+                         fill:'#666'}); ly.textContent = D.vars[1];
+  // feasible region polygon
+  if (D.vertices.length >= 3) {
+    el('polygon', {points: D.vertices.map(v => sx(v[0])+','+sy(v[1])).join(' '),
+                   fill: 'rgba(80,140,230,0.25)', stroke: '#4a7fd4'});
+  }
+  // constraint lines
+  for (const con of D.constraints) {
+    const [a1, a2] = con.a, bb = con.b;
+    let p1, p2;
+    if (Math.abs(a2) > 1e-12) { p1 = [x0, (bb - a1*x0)/a2]; p2 = [x1, (bb - a1*x1)/a2]; }
+    else if (Math.abs(a1) > 1e-12) { p1 = [bb/a1, y0]; p2 = [bb/a1, y1]; }
+    else continue;
+    el('line', {x1: sx(p1[0]), y1: sy(p1[1]), x2: sx(p2[0]), y2: sy(p2[1]),
+                stroke: '#c08', 'stroke-dasharray': '5,4', 'stroke-width': 1});
+  }
+  // simplex vertex path
+  const pathG = el('g', {});
+  const marker = el('circle', {r: 7, fill: '#d22', stroke: '#fff',
+                               'stroke-width': 2});
+  const slider = document.getElementById('stx-slider');
+  const label = document.getElementById('stx-label');
+  const P = D.path.length ? D.path : [[0,0]];
+  slider.max = P.length - 1;
+  function draw(k) {
+    while (pathG.firstChild) pathG.removeChild(pathG.firstChild);
+    for (let i = 1; i <= k; i++) {
+      el('line', {x1: sx(P[i-1][0]), y1: sy(P[i-1][1]), x2: sx(P[i][0]),
+                  y2: sy(P[i][1]), stroke: '#d22', 'stroke-width': 2.5}, pathG);
+    }
+    marker.setAttribute('cx', sx(P[k][0]));
+    marker.setAttribute('cy', sy(P[k][1]));
+    const z = D.objective[0]*P[k][0] + D.objective[1]*P[k][1];
+    label.textContent = ' iter ' + k + ':  (' + P[k][0].toFixed(3) + ', '
+      + P[k][1].toFixed(3) + ')  Z=' + z.toFixed(4);
+  }
+  slider.addEventListener('input', () => draw(+slider.value));
+  draw(0);
+})();
+</script>
+"""
+
+
+def build_visualization_html(lp, tables: List[Dict],
+                             vertex_path: Optional[List] = None) -> str:
+    """Pick the visualization: 2-D geometric widget + tables, or tables only.
+
+    Mirrors the reference's dimensionality rule (2D plot for 2 vars,
+    tables for >=4; 3-D support is table-based here).
+    """
+    parts = []
+    if lp.n_vars == 2 and vertex_path:
+        parts.append(geometric_view_2d(
+            lp.A, lp.b, lp.ops, lp.c, lp.maximize,
+            vertex_path, lp.variables,
+        ))
+    parts.append(tables_to_html(tables))
+    return "\n".join(parts)

@@ -1,0 +1,169 @@
+"""Storage, PDF, history, and viz service tests (SURVEY.md §4 mapping of
+``test_storage_service.py`` + report-schema checks)."""
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+
+import simplex_tpu.config as config
+from simplex_tpu import LinearProgram
+from simplex_tpu.controllers.orchestrator import (
+    SolverOrchestrator,
+    solve_problem_dict,
+)
+from simplex_tpu.services import history as history_svc
+from simplex_tpu.services import viz as viz_svc
+from simplex_tpu.services.pdf import PdfReportService
+from simplex_tpu.services.storage import StorageService
+
+
+@pytest.fixture
+def storage(tmp_path, monkeypatch):
+    monkeypatch.setattr(config, "OUTPUT_DIR", str(tmp_path))
+    return StorageService(str(tmp_path))
+
+
+WRAPPER = {"problema_definicion": {
+    "funcion_objetivo": {"type": "maximize",
+                         "coefficients": {"x1": 3.0, "x2": 5.0}},
+    "restricciones": [
+        {"coefficients": {"x1": 1.0, "x2": 0.0}, "operator": "<=", "rhs": 4.0},
+        {"coefficients": {"x1": 0.0, "x2": 2.0}, "operator": "<=",
+         "rhs": 12.0},
+        {"coefficients": {"x1": 3.0, "x2": 2.0}, "operator": "<=",
+         "rhs": 18.0},
+    ]}}
+
+
+# --------------------------------------------------------------------------- #
+# storage                                                                     #
+# --------------------------------------------------------------------------- #
+def test_sequential_numbering_and_latest_wins(storage):
+    p1 = storage.save_json("solucion_", {"v": 1})
+    p2 = storage.save_json("solucion_", {"v": 2})
+    assert p1.endswith("solucion_1.json")
+    assert p2.endswith("solucion_2.json")
+    assert storage.load_json("solucion_")["v"] == 2
+
+
+def test_load_missing_returns_none(storage):
+    assert storage.load_solution() is None
+
+
+def test_save_load_roundtrip_all_prefixes(storage):
+    storage.save_objective({"type": "maximize", "coefficients": {"x1": 1.0}})
+    storage.save_constraints([{"coefficients": {"x1": 1.0},
+                               "operator": "<=", "rhs": 2.0}])
+    storage.save_problem(WRAPPER)
+    storage.save_solution({"ok": True})
+    assert storage.load_objective()["type"] == "maximize"
+    assert storage.load_constraints()[0]["rhs"] == 2.0
+    assert storage.load_problem() == WRAPPER
+    assert storage.load_solution() == {"ok": True}
+    assert storage.new_pdf_path().endswith("reporte_solucion_1.pdf")
+
+
+# --------------------------------------------------------------------------- #
+# orchestrator report schema                                                  #
+# --------------------------------------------------------------------------- #
+def test_report_schema_feasible(storage):
+    report = SolverOrchestrator(WRAPPER, storage=storage).run()
+    assert set(report) == {"problema_definicion", "solucion_encontrada",
+                           "visualizacion_gilp_html", "tablas_intermedias"}
+    sol = report["solucion_encontrada"]
+    assert sol["status"] == "Solucion Factible"
+    assert sol["valor_optimo_z"] == pytest.approx(36.0)
+    assert sol["valores_variables"]["x1"] == pytest.approx(2.0)
+    assert sol["valores_variables"]["x2"] == pytest.approx(6.0)
+    # persisted
+    assert storage.load_solution()["solucion_encontrada"]["valor_optimo_z"] \
+        == pytest.approx(36.0)
+    # json-serializable end to end
+    json.dumps(report)
+
+
+def test_report_tables_contract(storage):
+    report = SolverOrchestrator(WRAPPER, storage=storage, save=False).run()
+    tables = report["tablas_intermedias"]
+    assert tables[0]["iteration"] == 0
+    assert tables[0]["title"] == "Iteración 0 (Tabla Inicial)"
+    assert tables[0]["pivot"] is None
+    for t in tables[1:]:
+        assert re.match(r"Iteración \d+ \(Pivote: Fila \d+, Col \d+\)",
+                        t["title"])
+        assert t["pivot"] is not None
+    # header row then labeled rows, floats rounded to 4 dp
+    head = tables[0]["table"][0]
+    assert head[0] == "Base" and head[1] == "C0"
+    cell = tables[0]["table"][1][1]
+    assert isinstance(cell, float)
+
+
+def test_report_infeasible(storage):
+    wrapper = {"problema_definicion": {
+        "funcion_objetivo": {"type": "maximize",
+                             "coefficients": {"x1": 1.0}},
+        "restricciones": [
+            {"coefficients": {"x1": 1.0}, "operator": "<=", "rhs": 1.0},
+            {"coefficients": {"x1": 1.0}, "operator": ">=", "rhs": 3.0},
+        ]}}
+    report = SolverOrchestrator(wrapper, storage=storage, save=False).run()
+    sol = report["solucion_encontrada"]
+    assert sol["status"] == "Sin Solucion Factible"
+    assert sol["valores_variables"] is None
+    assert sol["valor_optimo_z"] is None
+
+
+def test_orchestrator_rejects_empty_wrapper():
+    with pytest.raises(ValueError):
+        SolverOrchestrator({})
+
+
+# --------------------------------------------------------------------------- #
+# history / viz                                                               #
+# --------------------------------------------------------------------------- #
+def test_vertex_path_tracks_simplex_walk():
+    lp = LinearProgram.from_problem_dict(WRAPPER["problema_definicion"])
+    hist = history_svc.compute_pivot_history(lp)
+    path = history_svc.vertex_path_from_history(hist, 2)
+    assert path[0] == [0.0, 0.0]                 # starts at the origin
+    assert path[-1] == pytest.approx([2.0, 6.0])  # ends at the optimum
+
+
+def test_geometric_view_contains_polygon_and_slider():
+    lp = LinearProgram.from_problem_dict(WRAPPER["problema_definicion"])
+    html = viz_svc.geometric_view_2d(lp.A, lp.b, lp.ops, lp.c, lp.maximize,
+                                     [[0, 0], [2, 6]], lp.variables)
+    assert "stx-svg" in html and "stx-slider" in html
+    payload = json.loads(html.split("const D = ", 1)[1].split(";\n", 1)[0])
+    assert len(payload["vertices"]) >= 3          # feasible-region polygon
+    assert payload["path"] == [[0, 0], [2, 6]]
+    assert payload["vars"] == ["x1", "x2"]
+
+
+def test_tableau_html_pivot_highlight():
+    table = [["Base", "C0", "C1"], ["F0", 1.0, 2.0], ["F1", 3.0, 4.0]]
+    html = viz_svc.tableau_to_html(table, pivot=(0, 1))
+    assert "background-color:#fff0f0" in html
+    assert "1.0000" in html
+
+
+# --------------------------------------------------------------------------- #
+# pdf                                                                         #
+# --------------------------------------------------------------------------- #
+def test_pdf_generation_valid_structure(tmp_path, storage):
+    report = SolverOrchestrator(WRAPPER, storage=storage, save=False).run()
+    path = str(tmp_path / "report.pdf")
+    PdfReportService(report, path).generate()
+    data = open(path, "rb").read()
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    # xref offsets point at their objects
+    xref_at = int(data[data.rindex(b"startxref"):].split(b"\n")[1])
+    assert data[xref_at:xref_at + 4] == b"xref"
+    # report content present
+    for needle in (b"Reporte de Soluci", b"Z = 36.0000",
+                   b"3. Tablas Intermedias"):
+        assert needle in data
