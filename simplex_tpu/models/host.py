@@ -1,0 +1,77 @@
+"""Native C++ host simplex engine (ctypes binding).
+
+The framework's CPU-native engine — the role HiGHS C++ plays for the
+reference (``solver_controller.py:78-85``), implemented from scratch in
+``runtime/native/simplex_host.cpp``.  Use cases: tiny problems where device
+dispatch latency dominates, float64 differential checks against the TPU
+kernels, and environments without an accelerator.
+"""
+from __future__ import annotations
+
+import ctypes
+import time
+
+import numpy as np
+
+from ..config import SolverConfig, DEFAULT_CONFIG
+from ..core.problem import LinearProgram, STATUS_MESSAGES, STATUS_OPTIMAL
+from ..runtime.native import load_simplex_host
+from .dense import SimplexResult
+
+
+class HostSimplexSolver:
+    """Dense two-phase simplex running natively on the host CPU."""
+
+    def __init__(self, config: SolverConfig = DEFAULT_CONFIG):
+        self.config = config
+        self._lib = load_simplex_host()
+
+    def solve(self, lp: LinearProgram) -> SimplexResult:
+        t0 = time.perf_counter()
+        m, n = lp.n_cons, lp.n_vars
+        if m == 0:
+            # Mirror models.dense: unbounded iff some cost direction improves.
+            c_min = -lp.c if lp.maximize else lp.c
+            if np.any(c_min < 0):
+                return SimplexResult(x=None, fun=None, status=3,
+                                     success=False,
+                                     message=STATUS_MESSAGES[3], nit=0)
+            x = np.zeros((n,))
+            return SimplexResult(x=x, fun=0.0, status=0, success=True,
+                                 message=STATUS_MESSAGES[0], nit=0, z=0.0)
+
+        A = np.ascontiguousarray(lp.A, dtype=np.float64)
+        b = np.ascontiguousarray(lp.b, dtype=np.float64)
+        c = np.ascontiguousarray(lp.c, dtype=np.float64)
+        ops = np.ascontiguousarray(lp.ops, dtype=np.int8)
+        x = np.zeros((n,), dtype=np.float64)
+        z = ctypes.c_double(0.0)
+        iters = ctypes.c_long(0)
+
+        status = self._lib.simplex_solve_dense(
+            m, n,
+            A.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            1 if lp.maximize else 0,
+            float(max(self.config.tol, 1e-9)),
+            int(self.config.max_iters),
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(z),
+            ctypes.byref(iters),
+        )
+        elapsed = time.perf_counter() - t0
+        if status != STATUS_OPTIMAL:
+            return SimplexResult(
+                x=None, fun=None, status=int(status), success=False,
+                message=STATUS_MESSAGES.get(int(status), "Unknown status."),
+                nit=int(iters.value), solve_time=elapsed,
+            )
+        fun = float(z.value)
+        z_user = (-fun if lp.maximize else fun) + 0.0
+        return SimplexResult(
+            x=np.maximum(x, 0.0), fun=fun, status=0, success=True,
+            message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=int(iters.value),
+            z=z_user, solve_time=elapsed,
+        )

@@ -1,0 +1,225 @@
+"""Revised simplex with explicit basis-inverse maintenance (single chip).
+
+BASELINE config 4 ("netlib-style LPs via revised simplex with
+basis-factorization updates").  Where the dense tableau engine rewrites the
+whole (m x n) tableau every pivot (HBM-bound), the revised method keeps only
+the m x m basis inverse and the original column data:
+
+  pricing:    pi = c_B  B_inv        (m^2 MXU work)
+              rc = c - pi A          (m*n matvec — the only O(mn) op,
+                                      a clean MXU contraction over A)
+  FTRAN:      d  = B_inv a_s         (m^2)
+  update:     eta rank-1 on B_inv    (m^2), periodic exact refactorization
+              via jnp.linalg.solve   (m^3, amortized)
+
+so for n >> m (netlib-shaped: many columns, fewer rows) per-pivot cost drops
+from O(mn) HBM traffic to O(m^2) + one matvec.  Phase handling matches
+``ops/tableau.py``; basic artificials are driven out in phase 2 by the
+ratio-test preference used in the sharded kernel (``parallel/sharded.py``).
+
+Numerics: float32 on device with an f64 host refinement of the final basis
+(same policy as models/dense).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SolverConfig, DEFAULT_CONFIG
+from ..core.problem import (
+    LinearProgram,
+    STATUS_INFEASIBLE,
+    STATUS_ITERATION_LIMIT,
+    STATUS_MESSAGES,
+    STATUS_OPTIMAL,
+    STATUS_UNBOUNDED,
+    compile_standard_form,
+)
+from .dense import SimplexResult, _refine_on_host
+
+RUNNING = -1
+_INT_MAX = jnp.iinfo(jnp.int32).max
+_ART_BONUS = 1 << 20
+
+
+def _refactor(A_std, b, basis):
+    """Exact B_inv and x_B from the original data (batched dense solves)."""
+    B = jnp.take(A_std, basis, axis=1)
+    eye = jnp.eye(B.shape[0], dtype=A_std.dtype)
+    B_inv = jnp.linalg.solve(B, eye)
+    x_B = B_inv @ b
+    return B_inv, x_B
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tol", "max_iters", "bland_after", "refactor_every"),
+)
+def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
+                       B_inv, x_B, basis, iters0, in_phase2,
+                       tol: float = 1e-6, max_iters: int = 8192,
+                       bland_after: int = 2048, refactor_every: int = 64):
+    """One phase of revised simplex.  Returns (B_inv, x_B, basis, iters,
+    status, objective)."""
+
+    def cond(state):
+        _B, _x, _bas, iters, status, _since = state
+        return (status == RUNNING) & (iters < max_iters)
+
+    def body(state):
+        B_inv, x_B, basis, iters, status, since = state
+
+        do_ref = since >= refactor_every
+        B_inv, x_B = lax.cond(
+            do_ref, lambda _: _refactor(A_std, b, basis),
+            lambda _: (B_inv, x_B), None)
+
+        # Pricing.
+        c_B = cost[basis]
+        pi = c_B @ B_inv                                   # (m,)
+        rc = cost[:-1] - pi @ A_std                        # (n,)
+        rc = jnp.where(col_mask, rc, jnp.inf)
+        eligible = rc < -tol
+        use_bland = iters >= bland_after
+        s = jnp.where(use_bland, jnp.argmax(eligible), jnp.argmin(rc))
+        optimal = ~jnp.any(eligible)
+
+        # FTRAN + ratio test.
+        d = B_inv @ A_std[:, s]                            # (m,)
+        is_art_row = art_mask_ext[basis]
+        positive = d > tol
+        art_exit = in_phase2 & is_art_row & (jnp.abs(d) > tol)
+        ratios = jnp.where(positive, x_B / jnp.where(positive, d, 1.0),
+                           jnp.inf)
+        ratios = jnp.where(art_exit, 0.0, ratios)
+        cand = positive | art_exit
+        min_ratio = jnp.min(ratios)
+        unbounded = (~optimal) & jnp.isinf(min_ratio)
+
+        eps = jnp.finfo(x_B.dtype).eps
+        near = cand & (ratios <= min_ratio
+                       + 64.0 * eps * (1.0 + jnp.abs(min_ratio)))
+        key = jnp.where(near,
+                        basis - jnp.where(is_art_row, _ART_BONUS, 0),
+                        _INT_MAX)
+        r = jnp.argmin(key)
+        theta = ratios[r]
+
+        stop = optimal | unbounded
+        new_status = jnp.where(
+            stop, jnp.where(optimal, STATUS_OPTIMAL, STATUS_UNBOUNDED),
+            RUNNING)
+
+        def do_pivot(args):
+            B_inv, x_B, basis = args
+            dr = d[r]
+            er = B_inv[r] / dr
+            B_inv2 = B_inv - d[:, None] * er[None, :]
+            B_inv2 = B_inv2.at[r].set(er)
+            x_B2 = x_B - theta * d
+            x_B2 = x_B2.at[r].set(theta)
+            basis2 = basis.at[r].set(s.astype(basis.dtype))
+            return B_inv2, jnp.maximum(x_B2, 0.0), basis2
+
+        B_inv, x_B, basis = lax.cond(
+            stop, lambda a: a, do_pivot, (B_inv, x_B, basis))
+        iters = iters + (~stop).astype(iters.dtype)
+        since = jnp.where(do_ref, jnp.int32(1), since + 1)
+        return B_inv, x_B, basis, iters, new_status, since
+
+    state = (B_inv, x_B, basis, iters0, jnp.int32(RUNNING), jnp.int32(1))
+    B_inv, x_B, basis, iters, status, _ = lax.while_loop(cond, body, state)
+    status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
+    obj = cost[basis] @ x_B
+    return B_inv, x_B, basis, iters, status, obj
+
+
+class RevisedSimplexSolver:
+    """Single-LP revised simplex (basis-inverse maintenance)."""
+
+    def __init__(self, config: SolverConfig = DEFAULT_CONFIG):
+        self.config = config
+
+    def solve(self, lp: LinearProgram) -> SimplexResult:
+        t0 = time.perf_counter()
+        if lp.n_cons == 0:
+            from .dense import solve_lp
+            return solve_lp(lp, self.config)
+
+        dtype = np.dtype(self.config.dtype)
+        sf = compile_standard_form(lp, dtype=np.float64)
+        m_pad, n_pad = sf.m_pad, sf.n_pad
+
+        A_std = jnp.asarray(sf.tableau[:m_pad, :n_pad], dtype)
+        b = jnp.asarray(sf.tableau[:m_pad, n_pad], dtype)
+        basis = jnp.asarray(sf.basis)
+        col_p1 = jnp.asarray(sf.col_mask_p1)
+        col_p2 = jnp.asarray(sf.col_mask_p2)
+        art_ext = jnp.asarray(
+            np.concatenate([sf.col_mask_p1 & ~sf.col_mask_p2,
+                            np.ones((m_pad,), bool)])[:n_pad])
+        cost1 = jnp.asarray(sf.obj_row_p1[:n_pad + 1], dtype)
+        cost2 = jnp.asarray(sf.obj_row_p2[:n_pad + 1], dtype)
+
+        tol = max(self.config.tol, 1e-6 if dtype == np.float32 else 1e-9)
+        max_iters = min(self.config.max_iters, 50 * (m_pad + n_pad))
+        bland_after = min(self.config.bland_after, max_iters // 2)
+
+        B_inv, x_B = _refactor(A_std, b, basis)
+        iters = jnp.int32(0)
+
+        if sf.need_phase1:
+            B_inv, x_B, basis, iters, status, obj1 = _run_phase_revised(
+                A_std, b, cost1, col_p1, art_ext, B_inv, x_B, basis, iters,
+                jnp.bool_(False), tol=tol, max_iters=max_iters,
+                bland_after=bland_after)
+            b_scale = 1.0 + float(np.max(np.abs(sf.tableau[:m_pad, n_pad])))
+            if int(status) != STATUS_OPTIMAL:
+                return self._fail(int(status), int(iters), t0)
+            if float(obj1) > 1e-5 * b_scale:
+                return self._fail(STATUS_INFEASIBLE, int(iters), t0)
+
+        B_inv, x_B, basis, iters, status, obj = _run_phase_revised(
+            A_std, b, cost2, col_p2, art_ext, B_inv, x_B, basis, iters,
+            jnp.bool_(True), tol=tol, max_iters=max_iters,
+            bland_after=bland_after)
+        status = int(status)
+        nit = int(iters)
+        if status != STATUS_OPTIMAL:
+            return self._fail(status, nit, t0)
+
+        basis_np = np.asarray(basis)
+        x_B_np = np.asarray(x_B, np.float64)
+        x = np.zeros((sf.n_pad,))
+        x[basis_np] = x_B_np
+        x = x[: lp.n_vars]
+        c_min = -lp.c if lp.maximize else lp.c
+        fun = float(c_min @ x)
+
+        if self.config.refine:
+            x_full = _refine_on_host(sf, lp, basis_np)
+            if x_full is not None and np.all(x_full[: sf.n_cols] >= -1e-7):
+                x = x_full[: lp.n_vars]
+                fun = float(c_min @ x)
+
+        z_user = (-fun if lp.maximize else fun) + 0.0
+        return SimplexResult(
+            x=np.maximum(x, 0.0), fun=fun, status=0, success=True,
+            message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=nit,
+            basis=basis_np, z=z_user,
+            solve_time=time.perf_counter() - t0,
+        )
+
+    @staticmethod
+    def _fail(status: int, nit: int, t0: float) -> SimplexResult:
+        return SimplexResult(
+            x=None, fun=None, status=status, success=False,
+            message=STATUS_MESSAGES.get(status, "Unknown status."),
+            nit=nit, solve_time=time.perf_counter() - t0,
+        )
