@@ -1,0 +1,187 @@
+"""MPS file reader → :class:`LinearProgram` (netlib-style LPs).
+
+BASELINE config 4 targets "netlib-style sparse LPs"; netlib distributes its
+problems in fixed/free MPS format.  This reader supports the subset those
+problems need: NAME, ROWS (N/L/G/E), COLUMNS, RHS, RANGES, and BOUNDS with
+UP/LO/FX/BV entries.  Upper/lower bounds are lowered onto extra constraint
+rows (the framework's IR keeps the implicit ``x >= 0`` convention of the
+reference, ``solver_controller.py:163``); FR/MI (free/negative) variables
+are rejected with a clear error.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.problem import OP_EQ, OP_GE, OP_LE, LinearProgram
+
+_ROW_OPS = {"L": OP_LE, "G": OP_GE, "E": OP_EQ}
+
+
+def parse_mps(text: str, maximize: bool = False) -> LinearProgram:
+    """Parse MPS text into a LinearProgram.
+
+    MPS objectives are conventionally minimized; pass ``maximize=True`` to
+    flip the sense (netlib problems are min-form).
+    """
+    section = None
+    obj_row: Optional[str] = None
+    row_ops: Dict[str, int] = {}
+    row_order: List[str] = []
+    cols: Dict[str, Dict[str, float]] = {}
+    col_order: List[str] = []
+    rhs: Dict[str, float] = {}
+    ranges: Dict[str, float] = {}
+    bounds: List[Tuple[str, str, Optional[float]]] = []
+
+    for raw in text.splitlines():
+        if not raw.strip() or raw.lstrip().startswith("*"):
+            continue
+        if not raw[0].isspace():                      # section header
+            section = raw.split()[0].upper()
+            continue
+        fields = raw.split()
+        if section == "ROWS":
+            kind, name = fields[0].upper(), fields[1]
+            if kind == "N":
+                if obj_row is None:
+                    obj_row = name
+            else:
+                if kind not in _ROW_OPS:
+                    raise ValueError(f"Tipo de fila MPS no soportado: {kind}")
+                row_ops[name] = _ROW_OPS[kind]
+                row_order.append(name)
+        elif section == "COLUMNS":
+            if len(fields) >= 3 and fields[1].upper() == "'MARKER'":
+                marker = fields[2].upper().strip("'")
+                if "INT" in marker:
+                    raise ValueError(
+                        "Variables enteras (MARKER INTORG) no soportadas.")
+                continue
+            col = fields[0]
+            if col not in cols:
+                cols[col] = {}
+                col_order.append(col)
+            for k in range(1, len(fields) - 1, 2):
+                cols[col][fields[k]] = float(fields[k + 1])
+        elif section == "RHS":
+            for k in range(1, len(fields) - 1, 2):
+                rhs[fields[k]] = float(fields[k + 1])
+        elif section == "RANGES":
+            for k in range(1, len(fields) - 1, 2):
+                ranges[fields[k]] = float(fields[k + 1])
+        elif section == "BOUNDS":
+            kind = fields[0].upper()
+            var = fields[2]
+            val = float(fields[3]) if len(fields) > 3 else None
+            bounds.append((kind, var, val))
+        elif section in ("NAME", "OBJSENSE", None):
+            if section == "OBJSENSE" and fields[0].upper() == "MAX":
+                maximize = True
+        elif section == "ENDATA":
+            break
+
+    if obj_row is None:
+        raise ValueError("El archivo MPS no define una fila objetivo (N).")
+
+    n = len(col_order)
+    m = len(row_order)
+    col_idx = {c: j for j, c in enumerate(col_order)}
+    row_idx = {r: i for i, r in enumerate(row_order)}
+
+    A = np.zeros((m, n))
+    c = np.zeros((n,))
+    b = np.zeros((m,))
+    ops = np.zeros((m,), dtype=np.int8)
+    for name, i in row_idx.items():
+        ops[i] = row_ops[name]
+        b[i] = rhs.get(name, 0.0)
+    for col, entries in cols.items():
+        j = col_idx[col]
+        for row, val in entries.items():
+            if row == obj_row:
+                c[j] = val
+            elif row in row_idx:
+                A[row_idx[row], j] = val
+
+    extra_rows: List[Tuple[np.ndarray, int, float]] = []
+
+    # RANGES: a range r on row i adds the opposite-side constraint.
+    for name, r in ranges.items():
+        if name not in row_idx:
+            continue
+        i = row_idx[name]
+        if ops[i] == OP_LE:        # b - |r| <= row <= b
+            extra_rows.append((A[i].copy(), OP_GE, b[i] - abs(r)))
+        elif ops[i] == OP_GE:      # b <= row <= b + |r|
+            extra_rows.append((A[i].copy(), OP_LE, b[i] + abs(r)))
+        else:                      # E row: b <= row <= b + r (sign of r)
+            lo, hi = (b[i], b[i] + r) if r >= 0 else (b[i] + r, b[i])
+            ops[i] = OP_GE
+            b[i] = lo
+            extra_rows.append((A[i].copy(), OP_LE, hi))
+
+    # BOUNDS → extra rows (IR keeps implicit x >= 0).
+    unit = np.eye(n)
+    for kind, var, val in bounds:
+        if var not in col_idx:
+            continue
+        j = col_idx[var]
+        if kind in ("UP", "UI"):
+            extra_rows.append((unit[j].copy(), OP_LE, float(val)))
+        elif kind == "LO":
+            if val is None or val < 0:
+                raise ValueError(
+                    f"Cota inferior negativa no soportada para {var}.")
+            if val > 0:
+                extra_rows.append((unit[j].copy(), OP_GE, float(val)))
+        elif kind == "FX":
+            extra_rows.append((unit[j].copy(), OP_EQ, float(val)))
+        elif kind == "BV":
+            raise ValueError("Variables binarias (BV) no soportadas.")
+        elif kind in ("FR", "MI"):
+            raise ValueError(
+                f"Variables libres/negativas ({kind}) no soportadas; "
+                f"el IR asume x >= 0.")
+
+    if extra_rows:
+        A = np.vstack([A] + [r[0][None, :] for r in extra_rows])
+        ops = np.concatenate([ops, np.array([r[1] for r in extra_rows],
+                                            dtype=np.int8)])
+        b = np.concatenate([b, np.array([r[2] for r in extra_rows])])
+
+    return LinearProgram(c=c, A=A, b=b, ops=ops, maximize=maximize,
+                         variables=[f"x{j + 1}" for j in range(n)])
+
+
+def load_mps(path: str, maximize: bool = False) -> LinearProgram:
+    with open(path, "r", encoding="utf-8") as f:
+        return parse_mps(f.read(), maximize=maximize)
+
+
+def generate_netlib_style(seed: int, m: int = 50, n: int = 120,
+                          density: float = 0.15) -> LinearProgram:
+    """Random sparse netlib-shaped LP (feasible by construction).
+
+    Columns >> rows with sparse A, like the netlib set; b is chosen as
+    A @ x0 for a random nonnegative x0 so the feasible region is nonempty.
+    """
+    rng = np.random.default_rng(seed)
+    mask = rng.random((m, n)) < density
+    A = np.where(mask, rng.normal(size=(m, n)).round(3), 0.0)
+    # Ensure no all-zero rows/cols.
+    for i in range(m):
+        if not A[i].any():
+            A[i, rng.integers(0, n)] = 1.0
+    x0 = rng.uniform(0.0, 2.0, size=n)
+    b = A @ x0
+    ops = rng.choice([OP_LE, OP_GE, OP_EQ], size=m, p=[0.5, 0.3, 0.2])
+    # Relax b in the direction of each op so x0 stays strictly feasible.
+    slack = rng.uniform(0.1, 1.0, size=m)
+    b = np.where(ops == OP_LE, b + slack,
+                 np.where(ops == OP_GE, b - slack, b))
+    # Nonnegative min-form costs keep the LP bounded below over x >= 0.
+    c = (np.abs(rng.normal(size=n)) + 0.01).round(3)
+    return LinearProgram(c=c, A=A, b=b, ops=ops.astype(np.int8),
+                         maximize=False)
