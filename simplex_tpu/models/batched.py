@@ -82,6 +82,11 @@ def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
     A = np.asarray(A, np.float64)
     b = np.asarray(b, np.float64)
     ops = np.asarray(ops, np.int64)
+    for name, arr in (("c", c), ("A", A), ("b", b)):
+        if not np.all(np.isfinite(arr)):
+            raise ValueError(
+                f"Los datos del problema deben ser finitos: '{name}' "
+                f"contiene NaN/Inf.")
     B, m, n = A.shape
     maximize = np.broadcast_to(np.asarray(maximize, bool), (B,)).copy()
 

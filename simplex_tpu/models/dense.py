@@ -85,9 +85,55 @@ def _refine_on_host(sf: StandardForm, lp: LinearProgram,
     return x
 
 
+def _try_warm_start(sf: StandardForm,
+                    warm_basis: np.ndarray) -> Optional[StandardForm]:
+    """Rebuild the tableau from a saved basis if it is primal-feasible.
+
+    Returns a StandardForm whose tableau is the refactorized warm tableau
+    with ``need_phase1=False``, or None when the basis is stale (wrong
+    size, singular, or infeasible for the new data).
+    """
+    m_pad, n_pad = sf.m_pad, sf.n_pad
+    basis = np.asarray(warm_basis, dtype=np.int32).reshape(-1)
+    if basis.shape[0] != m_pad or np.any(basis < 0) or \
+            np.any(basis >= n_pad):
+        return None
+    T0 = sf.tableau.astype(np.float64)
+    rows = T0[:m_pad]
+    B = rows[:, basis]
+    try:
+        T_rows = np.linalg.solve(B, rows)
+    except np.linalg.LinAlgError:
+        return None
+    if not np.all(np.isfinite(T_rows)):
+        return None
+    x_B = T_rows[:, n_pad]
+    if np.any(x_B < -1e-9):            # not primal-feasible for this data
+        return None
+    art_cols = sf.col_mask_p1 & ~sf.col_mask_p2
+    if np.any(art_cols[basis]):        # artificial in basis — cold start
+        return None
+    T = np.concatenate([T_rows, np.zeros((1, n_pad + 1))], axis=0)
+    return dataclasses.replace(
+        sf,
+        tableau=T.astype(sf.tableau.dtype),
+        basis=basis,
+        need_phase1=False,
+    )
+
+
 def solve_lp(lp: LinearProgram,
-             config: SolverConfig = DEFAULT_CONFIG) -> SimplexResult:
-    """Solve one LP with the jitted two-phase dense tableau simplex."""
+             config: SolverConfig = DEFAULT_CONFIG,
+             warm_basis: Optional[np.ndarray] = None) -> SimplexResult:
+    """Solve one LP with the jitted two-phase dense tableau simplex.
+
+    ``warm_basis`` (column indices from a previous ``SimplexResult.basis``)
+    enables warm starting: if the saved basis is primal-feasible for this
+    problem, phase 1 is skipped entirely and phase 2 resumes from that
+    vertex — the basis-checkpoint/resume capability SURVEY.md §5.4 calls
+    out as impossible in the reference.  An infeasible or stale basis falls
+    back to a cold start transparently.
+    """
     t0 = time.perf_counter()
     dtype = np.dtype(config.dtype)
 
@@ -110,6 +156,11 @@ def solve_lp(lp: LinearProgram,
         col_pad=_bucket(lp.n_cons + 2 * lp.n_cons + lp.n_vars, 16),
         dtype=dtype,
     )
+
+    if warm_basis is not None:
+        warm = _try_warm_start(sf, warm_basis)
+        if warm is not None:
+            sf = warm
 
     max_iters = min(config.max_iters, 50 * (sf.m_pad + sf.n_pad))
     # Bland's rule must engage well before the iteration cap, or cycling can

@@ -109,3 +109,32 @@ def test_batch_infeasible_and_unbounded_detection():
     assert res.status[0] == 2
     assert res.status[1] == 0
     assert res.z[1] == pytest.approx(5.0)
+
+
+def test_batched_deterministic_replay():
+    """Determinism guard (SURVEY.md §5.2): the batched solve is a pure
+    function — two runs on identical inputs must agree bitwise."""
+    rng = np.random.default_rng(42)
+    B, m, n = 16, 5, 4
+    A = rng.normal(size=(B, m, n)).round(2)
+    b = rng.uniform(0.5, 6.0, size=(B, m)).round(2)
+    c = rng.normal(size=(B, n)).round(2)
+    ops = np.array([-1, 1, 0, -1, -1])
+    solver = BatchedSimplexSolver()
+    r1 = solver.solve_arrays(c, A, b, ops, maximize=True)
+    r2 = solver.solve_arrays(c, A, b, ops, maximize=True)
+    np.testing.assert_array_equal(r1.status, r2.status)
+    np.testing.assert_array_equal(
+        np.nan_to_num(r1.x), np.nan_to_num(r2.x))
+    np.testing.assert_array_equal(
+        np.nan_to_num(r1.z), np.nan_to_num(r2.z))
+
+
+def test_batched_rejects_nonfinite_inputs():
+    """NaN/Inf guard (SURVEY.md §5.2): non-finite problem data must fail
+    loudly, not propagate silently through the kernels."""
+    c = np.array([[1.0, np.nan]])
+    A = np.ones((1, 1, 2))
+    b = np.ones((1, 1))
+    with pytest.raises(ValueError, match="finit"):
+        BatchedSimplexSolver().solve_arrays(c, A, b, np.array([-1]))

@@ -250,3 +250,30 @@ def test_degenerate_livelock_regression():
     assert r.status == 0, f"expected optimal, got status {r.status}"
     assert abs(r.z - (-69.34961170221177)) < 1e-4
     assert r.nit < 500
+
+
+def test_warm_start_skips_phase1_and_matches():
+    """Basis checkpoint/resume: re-solving a perturbed problem from a saved
+    basis skips phase 1 and lands on the same optimum (SURVEY.md §5.4)."""
+    import numpy as np
+    from simplex_tpu import LinearProgram, solve_lp
+
+    lp = LinearProgram(c=[50, 80], A=[[4, 1], [1, 6], [4, 6]],
+                       b=[4, 6, 12], ops=[1, 1, 1], maximize=False)
+    cold = solve_lp(lp)
+    assert cold.success and cold.nit > 0
+
+    # Same problem, slightly perturbed costs: warm start from saved basis.
+    lp2 = LinearProgram(c=[51, 79], A=lp.A, b=lp.b, ops=lp.ops,
+                        maximize=False)
+    warm = solve_lp(lp2, warm_basis=cold.basis)
+    assert warm.success
+    assert warm.nit <= cold.nit            # no phase-1 pivots needed
+    # Verify against a cold solve of the perturbed problem.
+    cold2 = solve_lp(lp2)
+    assert abs(warm.z - cold2.z) < 1e-6
+
+    # A garbage basis must fall back to a cold start, not crash.
+    bad = solve_lp(lp2, warm_basis=np.array([0, 0, 0], dtype=np.int32))
+    assert bad.success
+    assert abs(bad.z - cold2.z) < 1e-6
