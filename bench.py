@@ -41,9 +41,24 @@ def _hbm_peak(device) -> float:
 
 
 def bench_pivot_update(size: int, iters: int):
-    """Steady-state time per rank-1 pivot update on a (size+1)^2 tableau."""
+    """Steady-state time per rank-1 pivot update on a (size+1)^2 tableau.
+
+    Methodology: ``iters`` pivots with VARYING positions are fused into ONE
+    jitted ``lax.scan`` — exactly how the production solve loop runs them
+    (``lax.while_loop`` on device) — and timing ends on a scalar checksum
+    fetch, which is the only sync that provably waits for remote execution
+    (``block_until_ready`` returns at enqueue over the axon tunnel and has
+    been observed to report >200x HBM peak).  Per-dispatch tunnel latency is
+    thus amortized to ~0, matching production behavior.
+
+    Alongside the paper HBM peak, the empirical streaming ceiling (a pure
+    elementwise read+write pass over the same array, same scan harness) is
+    measured and reported — ``frac_of_achievable`` is the honest
+    speed-of-light fraction.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from simplex_tpu.ops.tableau import pivot_update
 
     dev = jax.devices()[0]
@@ -51,26 +66,38 @@ def bench_pivot_update(size: int, iters: int):
     rng = np.random.default_rng(0)
     T = jnp.asarray(rng.normal(size=(m + 1, n + 1)).astype(np.float32))
     basis = jnp.arange(m, dtype=jnp.int32)
+    rs = jnp.asarray(
+        np.random.default_rng(1).integers(0, m, size=(iters, 2)).astype(np.int32)
+    )
 
-    upd = jax.jit(pivot_update)
-    # Warmup / compile.
-    T1, b1 = upd(T, basis, jnp.int32(1), jnp.int32(2))
-    T1.block_until_ready()
+    @jax.jit
+    def run(T, basis, rs):
+        def body(carry, rc):
+            T, basis = carry
+            return pivot_update(T, basis, rc[0], rc[1]), None
+        (T, basis), _ = lax.scan(body, (T, basis), rs)
+        return jnp.sum(T), basis
 
-    # Steady state with VARYING pivot positions: repeated identical
-    # dispatches can be elided/deduplicated upstream and report impossible
-    # bandwidths (observed >4 TB/s on a 819 GB/s part); varying (r, s) plus
-    # a final checksum defeats that.
-    rs = np.random.default_rng(1).integers(0, m, size=(iters, 2))
+    @jax.jit
+    def stream(T):
+        def body(T, _):
+            return T * 1.000001 + 0.000001, None
+        T, _ = lax.scan(body, T, None, length=iters)
+        return jnp.sum(T)
+
+    float(run(T, basis, rs)[0])  # compile + warm
     t0 = time.perf_counter()
-    Tc, bc = T1, b1
-    for r_i, s_i in rs:
-        Tc, bc = upd(Tc, bc, jnp.int32(r_i), jnp.int32(s_i))
-    float(jnp.sum(Tc))  # checksum forces full materialization
+    float(run(T, basis, rs)[0])  # checksum fetch = true sync
     dt = (time.perf_counter() - t0) / iters
+
+    float(stream(T))
+    t0 = time.perf_counter()
+    float(stream(T))
+    dt_stream = (time.perf_counter() - t0) / iters
 
     bytes_moved = 2.0 * (m + 1) * (n + 1) * 4  # read + write, f32
     gbps = bytes_moved / dt / 1e9
+    stream_gbps = bytes_moved / dt_stream / 1e9
     frac = gbps / _hbm_peak(dev)
     return {
         "metric": f"pivots_per_sec_{size}x{size}_f32",
@@ -81,6 +108,8 @@ def bench_pivot_update(size: int, iters: int):
             "per_pivot_ms": round(dt * 1e3, 3),
             "achieved_GBps": round(gbps, 1),
             "hbm_peak_GBps": _hbm_peak(dev),
+            "empirical_stream_GBps": round(stream_gbps, 1),
+            "frac_of_achievable": round(gbps / stream_gbps, 4),
             "device": str(getattr(dev, "device_kind", dev)),
         },
     }

@@ -7,11 +7,18 @@ Pallas pivot-update kernel at HBM roofline".  The rank-1 row reduction
     T[:, s] <- e_r
 
 touches every element of the tableau exactly once for read and once for
-write — the HBM roofline is 2 * R * W * 4 bytes per pivot.  The XLA version
-(``ops/tableau.pivot_update``) reaches ~60 % of that on v5e because the
-unit-column scatter and dynamic row update compile into extra passes; this
-kernel fuses everything into one tiled read-modify-write with the pivot
+write — the HBM roofline is 2 * R * W * 4 bytes per pivot.  This kernel
+fuses everything into one tiled read-modify-write with the pivot
 coordinates as scalar-prefetch arguments.
+
+Measured on v5e (8k x 8k f32, 256-pivot fused scan): this Pallas kernel
+sustains ~308 GB/s while the pure-XLA ``where``-mask formulation now used by
+``ops/tableau.pivot_update`` sustains ~580 GB/s — 99% of the chip's
+empirical streaming ceiling (~586 GB/s; paper peak 819).  XLA's fusion of
+the broadcasted-iota masks into the rank-1 update is already speed-of-light,
+so the XLA path is the production default; this kernel is kept as the
+explicitly-scheduled reference implementation (and the hook for future
+fusion of pricing+ratio-test into the same pass, where XLA cannot help).
 
 Layout contract: ``T`` is (R, W) with R % block_r == 0 and W % block_c == 0
 (the large-LP path pads rows to a multiple of the row block and columns to a
