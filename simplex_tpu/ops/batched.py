@@ -202,12 +202,23 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
         infeasible = p1_done & (p1_obj > feas_tol * b_scale)
         to_p2 = p1_done & ~infeasible
 
-        T_ev, basis_ev = _evict_artificials_b(T, basis, art_mask_ext,
-                                              col_mask_p2, tol)
-        T_p2 = _price_out_b(T_ev, basis_ev, obj_row_p2)
-        T = jnp.where(to_p2[:, None, None], T_p2, T)
-        basis = jnp.where(to_p2[:, None], basis_ev, basis)
-        phase = jnp.where(to_p2, jnp.int32(2), phase)
+        # The eviction sweep is m sequential batched pivots — by far the most
+        # expensive step in the body — so it only runs on iterations where at
+        # least one instance actually flips to phase 2 (typically once or
+        # twice per solve, not every iteration).
+        def flip(args):
+            T, basis, phase = args
+            T_ev, basis_ev = _evict_artificials_b(T, basis, art_mask_ext,
+                                                  col_mask_p2, tol)
+            T_p2 = _price_out_b(T_ev, basis_ev, obj_row_p2)
+            T = jnp.where(to_p2[:, None, None], T_p2, T)
+            basis = jnp.where(to_p2[:, None], basis_ev, basis)
+            phase = jnp.where(to_p2, jnp.int32(2), phase)
+            return T, basis, phase
+
+        T, basis, phase = lax.cond(
+            jnp.any(to_p2), flip, lambda a: a, (T, basis, phase)
+        )
 
         # --- Terminal statuses ----------------------------------------- #
         finish_p2 = want_stop & ~in_p1
