@@ -204,16 +204,197 @@ _GEO2D_TEMPLATE = """
 """
 
 
+# --------------------------------------------------------------------------- #
+# Geometric view (3 variables): rotatable SVG polyhedron + iteration slider   #
+# --------------------------------------------------------------------------- #
+def _halfspaces_3d(A: np.ndarray, b: np.ndarray, ops: np.ndarray):
+    """Constraint set as halfspaces a.x <= b (plus x >= 0)."""
+    planes = [(-np.eye(3)[i], 0.0) for i in range(3)]
+    for i in range(len(b)):
+        if ops[i] == -1:
+            planes.append((A[i].astype(float), float(b[i])))
+        elif ops[i] == 1:
+            planes.append((-A[i].astype(float), -float(b[i])))
+        else:
+            planes.append((A[i].astype(float), float(b[i])))
+            planes.append((-A[i].astype(float), -float(b[i])))
+    return planes
+
+
+def _feasible_polytope_3d(A: np.ndarray, b: np.ndarray, ops: np.ndarray):
+    """Vertices + edges of {x >= 0, A x (op) b} in 3-D.
+
+    Vertices are feasible intersections of 3 planes; an edge joins two
+    vertices that share (at least) 2 active constraints.  O(k^3) over the
+    constraint count — presentation code for human-scale problems, mirroring
+    the reference's gilp 3-D view (its docs: 3-D plot for 3 variables).
+    """
+    planes = _halfspaces_3d(A, b, ops)
+    k = len(planes)
+    verts: List[np.ndarray] = []
+    active: List[set] = []
+    for i, j, l in itertools.combinations(range(k), 3):
+        M = np.array([planes[i][0], planes[j][0], planes[l][0]])
+        if abs(np.linalg.det(M)) < 1e-10:
+            continue
+        x = np.linalg.solve(M, np.array(
+            [planes[i][1], planes[j][1], planes[l][1]]))
+        if not np.all(np.isfinite(x)):
+            continue
+        if all(a @ x <= bb + 1e-7 * (1 + abs(bb)) for a, bb in planes):
+            acts = {t for t, (a, bb) in enumerate(planes)
+                    if abs(a @ x - bb) <= 1e-7 * (1 + abs(bb))}
+            merged = False
+            for v_idx, v in enumerate(verts):
+                if np.sum(np.abs(v - x)) < 1e-7 * (1 + np.sum(np.abs(x))):
+                    active[v_idx] |= acts
+                    merged = True
+                    break
+            if not merged:
+                verts.append(x)
+                active.append(acts)
+    edges = []
+    for p, q in itertools.combinations(range(len(verts)), 2):
+        if len(active[p] & active[q]) >= 2:
+            edges.append((p, q))
+    return [v.tolist() for v in verts], edges
+
+
+def geometric_view_3d(A, b, ops, c, maximize: bool,
+                      path: Sequence[Sequence[float]],
+                      variables: Sequence[str]) -> str:
+    """Self-contained rotatable SVG widget for a 3-variable LP."""
+    A = np.asarray(A, float).reshape(len(b), 3)
+    b = np.asarray(b, float)
+    ops = np.asarray(ops)
+    verts, edges = _feasible_polytope_3d(A, b, ops)
+
+    pts = [list(map(float, v)) for v in verts] + \
+          [list(map(float, p)) for p in path] + [[0.0, 0.0, 0.0]]
+    arr = np.asarray(pts)
+    center = ((arr.max(axis=0) + arr.min(axis=0)) / 2.0).tolist()
+    radius = float(np.max(np.linalg.norm(arr - np.asarray(center), axis=1)))
+
+    data = {
+        "vertices": verts,
+        "edges": edges,
+        "path": [list(map(float, p)) for p in path],
+        "objective": list(map(float, c)),
+        "maximize": bool(maximize),
+        "center": center,
+        "radius": radius or 1.0,
+        "vars": list(variables),
+    }
+    return _GEO3D_TEMPLATE.replace("__DATA__", json.dumps(data))
+
+
+_GEO3D_TEMPLATE = """
+<div class="stx-geo3d" style="max-width:720px;margin:0 auto;text-align:center">
+  <svg id="stx3-svg" viewBox="0 0 640 480" width="100%"
+       style="background:#fcfcfe;border:1px solid #ddd;border-radius:6px;
+              cursor:grab"></svg>
+  <div style="margin-top:8px">
+    <input type="range" id="stx3-slider" min="0" value="0" style="width:60%">
+    <span id="stx3-label" style="font-family:monospace"></span>
+  </div>
+  <div style="font-size:12px;color:#888">drag to rotate</div>
+</div>
+<script>
+(function() {
+  const D = __DATA__;
+  const svg = document.getElementById('stx3-svg');
+  const NS = 'http://www.w3.org/2000/svg';
+  const W = 640, H = 480;
+  let rotX = -1.1, rotZ = 0.6;
+  const scale = 190 / D.radius;
+  function proj(p) {
+    const x = p[0] - D.center[0], y = p[1] - D.center[1],
+          z = p[2] - D.center[2];
+    const cz = Math.cos(rotZ), szn = Math.sin(rotZ);
+    const x1 = cz*x - szn*y, y1 = szn*x + cz*y, z1 = z;
+    const cx = Math.cos(rotX), sx = Math.sin(rotX);
+    const y2 = cx*y1 - sx*z1, z2 = sx*y1 + cx*z1;
+    return [W/2 + x1*scale, H/2 + y2*scale, z2];
+  }
+  function el(tag, attrs, parent) {
+    const e = document.createElementNS(NS, tag);
+    for (const k in attrs) e.setAttribute(k, attrs[k]);
+    (parent || svg).appendChild(e); return e;
+  }
+  const slider = document.getElementById('stx3-slider');
+  const label = document.getElementById('stx3-label');
+  const P = D.path.length ? D.path : [[0,0,0]];
+  slider.max = P.length - 1;
+  function draw() {
+    while (svg.firstChild) svg.removeChild(svg.firstChild);
+    // axes from origin
+    const O = proj([0,0,0]);
+    const axes = [[D.radius,0,0],[0,D.radius,0],[0,0,D.radius]];
+    axes.forEach((a, i) => {
+      const E = proj(a);
+      el('line', {x1:O[0], y1:O[1], x2:E[0], y2:E[1], stroke:'#bbb'});
+      const t = el('text', {x:E[0], y:E[1], 'font-size':'11', fill:'#888'});
+      t.textContent = D.vars[i];
+    });
+    // polytope edges
+    for (const [p, q] of D.edges) {
+      const a = proj(D.vertices[p]), b = proj(D.vertices[q]);
+      el('line', {x1:a[0], y1:a[1], x2:b[0], y2:b[1],
+                  stroke:'#4a7fd4', 'stroke-width':1.6, opacity:0.85});
+    }
+    for (const v of D.vertices) {
+      const s = proj(v);
+      el('circle', {cx:s[0], cy:s[1], r:3, fill:'#4a7fd4'});
+    }
+    // simplex path up to slider position
+    const k = +slider.value;
+    for (let i = 1; i <= k; i++) {
+      const a = proj(P[i-1]), b = proj(P[i]);
+      el('line', {x1:a[0], y1:a[1], x2:b[0], y2:b[1], stroke:'#d22',
+                  'stroke-width':2.5});
+    }
+    const m = proj(P[k]);
+    el('circle', {cx:m[0], cy:m[1], r:7, fill:'#d22', stroke:'#fff',
+                  'stroke-width':2});
+    const z = D.objective[0]*P[k][0] + D.objective[1]*P[k][1]
+            + D.objective[2]*P[k][2];
+    label.textContent = ' iter ' + k + ':  (' + P[k].map(
+      v => v.toFixed(2)).join(', ') + ')  Z=' + z.toFixed(4);
+  }
+  slider.addEventListener('input', draw);
+  let drag = null;
+  svg.addEventListener('pointerdown', e => {
+    drag = [e.clientX, e.clientY]; svg.setPointerCapture(e.pointerId);
+  });
+  svg.addEventListener('pointermove', e => {
+    if (!drag) return;
+    rotZ += (e.clientX - drag[0]) * 0.01;
+    rotX += (e.clientY - drag[1]) * 0.01;
+    drag = [e.clientX, e.clientY]; draw();
+  });
+  svg.addEventListener('pointerup', () => { drag = null; });
+  draw();
+})();
+</script>
+"""
+
+
 def build_visualization_html(lp, tables: List[Dict],
                              vertex_path: Optional[List] = None) -> str:
-    """Pick the visualization: 2-D geometric widget + tables, or tables only.
+    """Pick the visualization: geometric widget + tables, or tables only.
 
-    Mirrors the reference's dimensionality rule (2D plot for 2 vars,
-    tables for >=4; 3-D support is table-based here).
+    Mirrors the reference's dimensionality rule (gilp via
+    ``docs/user_guide.md:192-219``): 2-D plot for 2 variables, 3-D for 3,
+    tables only for >= 4.
     """
     parts = []
     if lp.n_vars == 2 and vertex_path:
         parts.append(geometric_view_2d(
+            lp.A, lp.b, lp.ops, lp.c, lp.maximize,
+            vertex_path, lp.variables,
+        ))
+    elif lp.n_vars == 3 and vertex_path:
+        parts.append(geometric_view_3d(
             lp.A, lp.b, lp.ops, lp.c, lp.maximize,
             vertex_path, lp.variables,
         ))

@@ -167,3 +167,47 @@ def test_pdf_generation_valid_structure(tmp_path, storage):
     for needle in (b"Reporte de Soluci", b"Z = 36.0000",
                    b"3. Tablas Intermedias"):
         assert needle in data
+
+
+def test_polytope_3d_unit_cube():
+    # x,y,z <= 1 with x,y,z >= 0 -> the unit cube: 8 vertices, 12 edges.
+    A = np.eye(3)
+    b = np.ones(3)
+    ops = np.array([-1, -1, -1])
+    verts, edges = viz_svc._feasible_polytope_3d(A, b, ops)
+    assert len(verts) == 8
+    assert len(edges) == 12
+    corners = {tuple(np.round(v, 6)) for v in verts}
+    assert (0.0, 0.0, 0.0) in corners and (1.0, 1.0, 1.0) in corners
+
+
+def test_geometric_view_3d_widget():
+    A = np.eye(3)
+    b = np.ones(3)
+    ops = np.array([-1, -1, -1])
+    html = viz_svc.geometric_view_3d(A, b, ops, [1, 1, 1], True,
+                                     [[0, 0, 0], [1, 1, 1]],
+                                     ["x1", "x2", "x3"])
+    assert "stx3-svg" in html and "stx3-slider" in html
+    payload = json.loads(html.split("const D = ", 1)[1].split(";\n", 1)[0])
+    assert len(payload["vertices"]) == 8
+    assert payload["path"] == [[0, 0, 0], [1, 1, 1]]
+
+
+def test_orchestrator_emits_3d_widget_for_3_vars():
+    wrapper = {"problema_definicion": {
+        "funcion_objetivo": {"type": "maximize",
+                             "coefficients": {"x1": 3.0, "x2": 5.0,
+                                              "x3": 4.0}},
+        "restricciones": [
+            {"coefficients": {"x1": 2.0, "x2": 3.0, "x3": 0.0},
+             "operator": "<=", "rhs": 8.0},
+            {"coefficients": {"x1": 0.0, "x2": 2.0, "x3": 5.0},
+             "operator": "<=", "rhs": 10.0},
+            {"coefficients": {"x1": 3.0, "x2": 2.0, "x3": 4.0},
+             "operator": "<=", "rhs": 15.0},
+        ],
+    }}
+    report = SolverOrchestrator(wrapper).run()
+    assert report["solucion_encontrada"]["status"] == "Solucion Factible"
+    assert "stx3-svg" in report["visualizacion_gilp_html"]
