@@ -90,7 +90,7 @@ class SolverOrchestrator:
         else:
             status, valores, z = STATUS_ERROR_STR, None, None
 
-        return {
+        report = {
             "problema_definicion": self.problem,
             "solucion_encontrada": {
                 "status": status,
@@ -101,6 +101,22 @@ class SolverOrchestrator:
             "visualizacion_gilp_html": viz_html,
             "tablas_intermedias": tables,
         }
+        # Additive section (absent from the reference's schema — HiGHS
+        # computes marginals but solver_controller.py discards them):
+        # shadow prices per constraint and reduced costs per variable,
+        # USER-sense signs (see models/dense._sensitivity_on_host).
+        if result.success and result.duals is not None:
+            report["analisis_sensibilidad"] = {
+                "precios_sombra": {
+                    f"restriccion_{i+1}": round(float(d), 10)
+                    for i, d in enumerate(result.duals)
+                },
+                "costos_reducidos": {
+                    v: round(float(r), 10)
+                    for v, r in zip(self.lp.variables, result.reduced_costs)
+                },
+            }
+        return report
 
 
 def solve_problem_dict(problem_data_wrapper: Dict,

@@ -51,6 +51,12 @@ class SimplexResult:
     basis: Optional[np.ndarray] = None  # final basis column indices
     z: Optional[float] = None   # objective in the USER sense (max ⇒ -fun)
     solve_time: float = 0.0
+    # Sensitivity (None unless optimal and computable) — USER-sense signs:
+    # duals[i] = dZ_user/db_i (shadow price of constraint i);
+    # reduced_costs[j] = dZ_user/dx_j when forcing nonbasic x_j off its bound
+    # (0 for basic variables up to round-off).
+    duals: Optional[np.ndarray] = None
+    reduced_costs: Optional[np.ndarray] = None
 
     def variable_values(self, variables: List[str]) -> Dict[str, float]:
         return {v: float(self.x[i]) for i, v in enumerate(variables)}
@@ -83,6 +89,45 @@ def _refine_on_host(sf: StandardForm, lp: LinearProgram,
     x = np.zeros((sf.n_cols,), dtype=np.float64)
     x[basis] = x_b
     return x
+
+
+def _sensitivity_on_host(sf: StandardForm, lp: LinearProgram,
+                         basis: np.ndarray):
+    """Shadow prices and reduced costs from the optimal basis (host f64).
+
+    The simplex multipliers of the min-form standard problem are
+    ``y' = c_B' B^-1`` (one dense triangular-ish solve); reduced costs are
+    ``rc = c - y'A``.  Signs are mapped back to the USER's orientation:
+    standard-form row i is ``s_i * (original row i)`` (rows with negative
+    rhs were flipped during compilation), and user Z is ``-Z_min`` for
+    maximize — so ``dZ_user/db_i = (max ? -1 : 1) * s_i * y_i``.  This is
+    capability the reference throws away: HiGHS computes marginals but
+    ``solver_controller.py`` never reads them.
+
+    Returns ``(duals, reduced_costs)`` or ``(None, None)`` when the basis
+    includes padding columns or is numerically singular.
+    """
+    m = sf.n_rows
+    basis = np.asarray(basis[:m], dtype=np.int64)
+    if np.any(basis >= sf.n_cols):
+        return None, None
+    sf64 = compile_standard_form(lp, dtype=np.float64)
+    A_full = sf64.tableau[:m, : sf.n_cols]
+    c_full = sf64.obj_row_p2[: sf.n_cols]
+    B = A_full[:, basis]
+    try:
+        y = np.linalg.solve(B.T, c_full[basis])
+    except np.linalg.LinAlgError:
+        return None, None
+    if not np.all(np.isfinite(y)):
+        return None, None
+    rc_min = c_full - y @ A_full
+
+    user_sign = -1.0 if lp.maximize else 1.0
+    row_sign = np.where(lp.b < 0, -1.0, 1.0)       # compile-time row flips
+    duals = user_sign * row_sign * y
+    reduced = user_sign * rc_min[: lp.n_vars]
+    return duals, reduced
 
 
 def _try_warm_start(sf: StandardForm,
@@ -201,6 +246,8 @@ def solve_lp(lp: LinearProgram,
             x = x_full[: lp.n_vars]
             fun = float(c_min @ x)
 
+    duals, reduced = _sensitivity_on_host(sf, lp, basis_np)
+
     z_user = (-fun if lp.maximize else fun) + 0.0  # +0.0 normalizes -0.0
     return SimplexResult(
         x=np.maximum(x, 0.0),  # clamp -0.0 / tiny negatives from refinement
@@ -208,6 +255,7 @@ def solve_lp(lp: LinearProgram,
         message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=nit,
         basis=basis_np, z=z_user,
         solve_time=time.perf_counter() - t0,
+        duals=duals, reduced_costs=reduced,
     )
 
 

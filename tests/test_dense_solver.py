@@ -277,3 +277,56 @@ def test_warm_start_skips_phase1_and_matches():
     bad = solve_lp(lp2, warm_basis=np.array([0, 0, 0], dtype=np.int32))
     assert bad.success
     assert abs(bad.z - cold2.z) < 1e-6
+
+
+def test_sensitivity_duals_and_reduced_costs_match_scipy():
+    """Shadow prices / reduced costs (capability the reference discards:
+    HiGHS computes marginals, solver_controller.py never reads them).
+    USER-sense convention: duals[i] = dZ_user/db_i; reduced_costs[j] =
+    dZ_user/dx_j off the lower bound.  Cross-checked against scipy/HiGHS
+    marginals with the appropriate row/sense sign maps."""
+    rng = np.random.default_rng(11)
+    total = 0
+    for _ in range(25):
+        m, n = int(rng.integers(1, 7)), int(rng.integers(1, 7))
+        A = rng.uniform(0.05, 1.5, size=(m, n)).round(2)
+        c = rng.uniform(0.1, 2.0, size=n).round(2)
+        maximize = bool(rng.integers(0, 2))
+        if maximize:
+            ops = np.full(m, -1)
+            b = rng.uniform(1.0, 6.0, size=m).round(2)
+        else:
+            ops = np.full(m, 1)
+            b = rng.uniform(0.2, 1.0, size=m).round(2)
+        lp = LinearProgram(c=c, A=A, b=b, ops=ops, maximize=maximize)
+        r = solve_lp(lp)
+        if r.status != 0 or r.duals is None:
+            continue
+        if maximize:
+            ref = linprog(-c, A_ub=A, b_ub=b, method="highs",
+                          options={"presolve": False})
+            sgn_row = 1.0
+        else:
+            ref = linprog(c, A_ub=-A, b_ub=-b, method="highs",
+                          options={"presolve": False})
+            sgn_row = -1.0
+        if ref.status != 0:
+            continue
+        total += 1
+        us = -1.0 if maximize else 1.0
+        assert np.allclose(r.duals, us * ref.ineqlin.marginals * sgn_row,
+                           atol=1e-5)
+        assert np.allclose(r.reduced_costs, us * ref.lower.marginals,
+                           atol=1e-5)
+    assert total >= 15          # enough non-degenerate instances checked
+
+
+def test_sensitivity_textbook_shadow_prices():
+    """max 3x1+5x2 s.t. x1<=4, 2x2<=12, 3x1+2x2<=18 (the reference's own
+    test problem): binding rows 2 and 3 have shadow prices 3/2 and 1."""
+    lp = LinearProgram(c=[3, 5], A=[[1, 0], [0, 2], [3, 2]],
+                       b=[4, 12, 18], ops=[-1, -1, -1], maximize=True)
+    r = solve_lp(lp)
+    assert r.success
+    assert r.duals == pytest.approx([0.0, 1.5, 1.0], abs=1e-6)
+    assert r.reduced_costs == pytest.approx([0.0, 0.0], abs=1e-6)

@@ -70,8 +70,13 @@ def test_save_load_roundtrip_all_prefixes(storage):
 # --------------------------------------------------------------------------- #
 def test_report_schema_feasible(storage):
     report = SolverOrchestrator(WRAPPER, storage=storage).run()
+    # Reference schema keys all present; "analisis_sensibilidad" is the
+    # framework's additive extension (shadow prices + reduced costs).
     assert set(report) == {"problema_definicion", "solucion_encontrada",
-                           "visualizacion_gilp_html", "tablas_intermedias"}
+                           "visualizacion_gilp_html", "tablas_intermedias",
+                           "analisis_sensibilidad"}
+    sens = report["analisis_sensibilidad"]
+    assert set(sens) == {"precios_sombra", "costos_reducidos"}
     sol = report["solucion_encontrada"]
     assert sol["status"] == "Solucion Factible"
     assert sol["valor_optimo_z"] == pytest.approx(36.0)
