@@ -200,6 +200,7 @@ class PdfReportService:
 
         self._problem_section(doc)
         self._solution_section(doc)
+        self._sensitivity_section(doc)
         self._tableaus_section(doc)
 
         with open(self.filepath, "wb") as f:
@@ -247,11 +248,29 @@ class PdfReportService:
                 doc.table(rows, col_width=100.0)
         doc.spacer(8)
 
+    def _sensitivity_section(self, doc: PdfDocument):
+        sens = self.report.get("analisis_sensibilidad")
+        if not sens:
+            return
+        doc.heading("3. Análisis de Sensibilidad", size=13)
+        doc.paragraph("Precios sombra (dZ/db por restricción):", bold=True)
+        rows = [["Restricción", "Precio sombra"]]
+        for k, v in (sens.get("precios_sombra") or {}).items():
+            rows.append([k, float(v)])
+        doc.table(rows, col_width=120.0)
+        doc.spacer(4)
+        doc.paragraph("Costos reducidos por variable:", bold=True)
+        rows = [["Variable", "Costo reducido"]]
+        for k, v in (sens.get("costos_reducidos") or {}).items():
+            rows.append([k, float(v)])
+        doc.table(rows, col_width=120.0)
+        doc.spacer(8)
+
     def _tableaus_section(self, doc: PdfDocument):
         tables = self.report.get("tablas_intermedias") or []
         if not tables:
             return
-        doc.heading("3. Tablas Intermedias (Método Simplex)", size=13)
+        doc.heading("4. Tablas Intermedias (Método Simplex)", size=13)
         for entry in tables:
             doc.paragraph(entry.get("title", ""), bold=True)
             rows = entry.get("table") or []

@@ -170,7 +170,8 @@ def test_pdf_generation_valid_structure(tmp_path, storage):
     assert data[xref_at:xref_at + 4] == b"xref"
     # report content present
     for needle in (b"Reporte de Soluci", b"Z = 36.0000",
-                   b"3. Tablas Intermedias"):
+                   b"3. An",
+                   b"4. Tablas Intermedias"):
         assert needle in data
 
 
