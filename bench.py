@@ -168,6 +168,42 @@ def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50):
     }
 
 
+def bench_pdhg(B: int = 65536, m: int = 20, n: int = 30):
+    """First-order (PDHG) sweep throughput — the 1M-instance-regime engine.
+
+    Times the on-device solve with staged inputs (same pipeline argument as
+    the batched simplex bench).  ``vs_baseline`` is the converged fraction.
+    """
+    import jax
+    import jax.numpy as jnp
+    from simplex_tpu.models.pdhg import _pdhg_solve
+
+    rng = np.random.default_rng(0)
+    A = rng.uniform(0.05, 1.0, size=(B, m, n)).astype(np.float32)
+    b = rng.uniform(1.0, 5.0, size=(B, m)).astype(np.float32)
+    c = -rng.uniform(0.1, 1.0, size=(B, n)).astype(np.float32)  # min form
+    is_eq = np.zeros((B, m), bool)
+
+    args = (jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+            jnp.asarray(is_eq))
+    jax.block_until_ready(args)
+    out = _pdhg_solve(*args, max_iters=2000, tol=1e-4)
+    float(jnp.sum(out[0]))
+    t0 = time.perf_counter()
+    out = _pdhg_solve(*args, max_iters=2000, tol=1e-4)
+    float(jnp.sum(out[0]))
+    dt = time.perf_counter() - t0
+    converged = int(np.sum(np.asarray(out[5])))
+    return {
+        "metric": f"pdhg_lps_per_sec_{B}x{m}x{n}",
+        "value": round(B / dt, 1),
+        "unit": "LPs/s/chip",
+        "vs_baseline": round(converged / B, 4),
+        "detail": {"device_solve_s": round(dt, 3),
+                   "pdhg_iters": int(out[6]), "converged": converged},
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=8192,
@@ -175,11 +211,17 @@ def main():
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--batch", action="store_true",
                    help="run the batched-solve benchmark instead")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="instance count for --batch / --pdhg")
+    p.add_argument("--pdhg", action="store_true",
+                   help="run the first-order (PDHG) sweep benchmark")
     args = p.parse_args()
 
     try:
-        if args.batch:
-            out = bench_batched_solve()
+        if args.pdhg:
+            out = bench_pdhg(B=args.batch_size or 65536)
+        elif args.batch:
+            out = bench_batched_solve(B=args.batch_size or 1024)
         else:
             out = bench_pivot_update(args.size, args.iters)
     except Exception as e:  # fall back to a smaller shape on OOM etc.
