@@ -16,4 +16,5 @@ from .core.parsing import (
     ObjectiveFunctionParser,
 )
 from .core.problem import LinearProgram, compile_standard_form
-from .models.dense import DenseSimplexSolver, SimplexResult, solve_lp
+from .models.dense import (DenseSimplexSolver, SimplexResult,
+                           reoptimize, solve_lp)

@@ -259,11 +259,103 @@ def solve_lp(lp: LinearProgram,
     )
 
 
+def reoptimize(lp: LinearProgram, basis: np.ndarray,
+               config: SolverConfig = DEFAULT_CONFIG) -> SimplexResult:
+    """Dual-simplex reoptimization from a previously-optimal basis.
+
+    The warm-start counterpart :func:`solve_lp` ``warm_basis=...`` covers
+    (cost changes keep the basis primal-feasible); this covers RHS
+    changes: the old basis stays DUAL-feasible (reduced costs are
+    untouched by ``b``) but may go primal-infeasible, exactly the state
+    the dual simplex iterates away.  This is the capability HiGHS's
+    ``highs-ds`` brings to the reference, natively.
+
+    Falls back to a cold :func:`solve_lp` when the basis is stale (wrong
+    shape, singular, artificial columns basic, or not dual-feasible for
+    the new costs).
+    """
+    t0 = time.perf_counter()
+    dtype = np.dtype(config.dtype)
+    if lp.n_cons == 0 or basis is None:
+        return solve_lp(lp, config)
+
+    sf = compile_standard_form(
+        lp,
+        row_pad=_bucket(lp.n_cons),
+        col_pad=_bucket(lp.n_cons + 2 * lp.n_cons + lp.n_vars, 16),
+        dtype=dtype,
+    )
+    m_pad, n_pad = sf.m_pad, sf.n_pad
+    basis = np.asarray(basis, dtype=np.int32).reshape(-1)
+    if basis.shape[0] != m_pad or np.any(basis < 0) or np.any(basis >= n_pad):
+        return solve_lp(lp, config)
+    art_cols = sf.col_mask_p1 & ~sf.col_mask_p2
+    if np.any(art_cols[basis]):
+        return solve_lp(lp, config)
+
+    # Refactor the tableau for the new data under the old basis (f64 host).
+    T0 = sf.tableau.astype(np.float64)
+    rows = T0[:m_pad]
+    try:
+        T_rows = np.linalg.solve(rows[:, basis], rows)
+    except np.linalg.LinAlgError:
+        return solve_lp(lp, config)
+    if not np.all(np.isfinite(T_rows)):
+        return solve_lp(lp, config)
+    obj = sf.obj_row_p2.astype(np.float64).copy()
+    obj -= obj[basis] @ T_rows
+    tol = float(config.tol if dtype == np.float64 else max(config.tol, 1e-6))
+    rc_ok = np.all(obj[:n_pad][sf.col_mask_p2] >= -10 * tol)
+    if not rc_ok:                       # costs changed too: not dual-feasible
+        return solve_lp(lp, config)
+
+    T = np.concatenate([T_rows, obj[None, :]], axis=0).astype(dtype)
+    max_iters = min(config.max_iters, 50 * (m_pad + n_pad))
+    T_d, basis_d, status, iters = tableau_ops.solve_tableau_dual(
+        jnp.asarray(T), jnp.asarray(basis), jnp.asarray(sf.col_mask_p2),
+        tol=tol, max_iters=int(max_iters),
+        bland_after=int(min(config.bland_after, max_iters // 2)),
+    )
+    status = int(status)
+    nit = int(iters)
+    basis_np = np.asarray(basis_d)
+    if status != STATUS_OPTIMAL:
+        if status == STATUS_ITERATION_LIMIT:
+            return solve_lp(lp, config)
+        return SimplexResult(
+            x=None, fun=None, status=status, success=False,
+            message=STATUS_MESSAGES.get(status, "Unknown status."),
+            nit=nit, basis=basis_np, solve_time=time.perf_counter() - t0,
+        )
+
+    x_dev, z_min_dev = tableau_ops.extract_solution(T_d, basis_d, sf.n_vars)
+    x = np.asarray(x_dev, np.float64)
+    c_min = -lp.c if lp.maximize else lp.c
+    fun = float(np.asarray(z_min_dev))
+    if config.refine:
+        x_full = _refine_on_host(sf, lp, basis_np)
+        if x_full is not None and np.all(x_full[: sf.n_cols] >= -1e-7):
+            x = x_full[: lp.n_vars]
+            fun = float(c_min @ x)
+    duals, reduced = _sensitivity_on_host(sf, lp, basis_np)
+    z_user = (-fun if lp.maximize else fun) + 0.0
+    return SimplexResult(
+        x=np.maximum(x, 0.0), fun=fun, status=0, success=True,
+        message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=nit,
+        basis=basis_np, z=z_user, solve_time=time.perf_counter() - t0,
+        duals=duals, reduced_costs=reduced,
+    )
+
+
 class DenseSimplexSolver:
-    """Object-style facade over :func:`solve_lp`."""
+    """Object-style facade over :func:`solve_lp` / :func:`reoptimize`."""
 
     def __init__(self, config: SolverConfig = DEFAULT_CONFIG):
         self.config = config
 
     def solve(self, lp: LinearProgram) -> SimplexResult:
         return solve_lp(lp, self.config)
+
+    def reoptimize(self, lp: LinearProgram,
+                   basis: np.ndarray) -> SimplexResult:
+        return reoptimize(lp, basis, self.config)

@@ -289,6 +289,77 @@ def extract_solution(T, basis, n_vars: int):
 
 
 # --------------------------------------------------------------------------- #
+# Dual simplex: reoptimization from a dual-feasible basis                     #
+# --------------------------------------------------------------------------- #
+@functools.partial(
+    jax.jit, static_argnames=("tol", "max_iters", "bland_after"),
+)
+def solve_tableau_dual(T0, basis0, col_mask, tol: float = 1e-6,
+                       max_iters: int = 16384, bland_after: int = 2048):
+    """Dual simplex pivots on a tableau with nonnegative reduced costs.
+
+    The mirror image of the primal loop — the TPU-native counterpart of the
+    reference's authoritative engine, HiGHS *dual* simplex
+    (``solver_controller.py:83`` ``method='highs-ds'``).  Start state: a
+    basis that is dual-feasible (``T[-1, :-1] >= -tol`` on eligible
+    columns) but possibly primal-infeasible (negative RHS entries) — the
+    situation after perturbing ``b`` under a previously-optimal basis.
+    Per iteration, all masked arithmetic:
+
+    * leaving row  = most negative RHS (primal infeasibility pricing);
+    * entering col = masked argmin of ``rc_j / -T[r, j]`` over columns with
+      ``T[r, j] < -tol`` (keeps the objective row nonnegative — dual
+      feasibility is the loop invariant);
+    * Bland fallback (lowest eligible column index) after ``bland_after``.
+
+    Returns ``(T, basis, status, iters)``: STATUS_OPTIMAL when the RHS is
+    nonnegative (primal feasibility reached = optimality under the dual
+    invariant), STATUS_INFEASIBLE when a negative row has no negative
+    eligible entry (primal empty), STATUS_ITERATION_LIMIT otherwise.
+    """
+
+    def cond(state):
+        _, _, iters, status = state
+        return (status == RUNNING) & (iters < max_iters)
+
+    def body(state):
+        T, basis, iters, _ = state
+        rhs = T[:-1, -1]
+        r = jnp.argmin(rhs)
+        primal_ok = rhs[r] >= -tol
+
+        row = T[r, :-1]
+        eligible = col_mask & (row < -tol)
+        no_pivot = ~jnp.any(eligible)
+
+        rc = T[-1, :-1]
+        safe = jnp.where(eligible, -row, 1.0)
+        ratios = jnp.where(eligible, jnp.maximum(rc, 0.0) / safe, jnp.inf)
+        s_ratio = jnp.argmin(ratios)
+        s_bland = jnp.argmax(eligible)
+        s = jnp.where(iters >= bland_after, s_bland, s_ratio)
+
+        status = jnp.where(
+            primal_ok, STATUS_OPTIMAL,
+            jnp.where(no_pivot, STATUS_INFEASIBLE, RUNNING),
+        )
+
+        def do_pivot(args):
+            T, basis = args
+            return pivot_update(T, basis, r, s)
+
+        T, basis = lax.cond(status == RUNNING, do_pivot, lambda a: a,
+                            (T, basis))
+        iters = iters + (status == RUNNING).astype(iters.dtype)
+        return T, basis, iters, status
+
+    T, basis, iters, status = lax.while_loop(
+        cond, body, (T0, basis0, jnp.int32(0), jnp.int32(RUNNING)))
+    status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
+    return T, basis, status, iters
+
+
+# --------------------------------------------------------------------------- #
 # History-capturing variant: fixed-length lax.scan emitting tableau snapshots #
 # (the simple_simplex ``pivotSteps`` contract, solver_controller.py:290-363)  #
 # --------------------------------------------------------------------------- #

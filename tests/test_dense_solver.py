@@ -330,3 +330,68 @@ def test_sensitivity_textbook_shadow_prices():
     assert r.success
     assert r.duals == pytest.approx([0.0, 1.5, 1.0], abs=1e-6)
     assert r.reduced_costs == pytest.approx([0.0, 0.0], abs=1e-6)
+
+
+def test_dual_reoptimize_after_rhs_change():
+    """Dual-simplex reoptimization: RHS changes keep the old basis
+    dual-feasible but may break primal feasibility — the exact regime the
+    dual loop repairs (the reference's HiGHS engine is 'highs-ds')."""
+    from simplex_tpu import reoptimize
+
+    lp = LinearProgram(c=[3, 5], A=[[1, 0], [0, 2], [3, 2]],
+                       b=[4, 12, 18], ops=[-1, -1, -1], maximize=True)
+    r0 = solve_lp(lp)
+    assert r0.success
+
+    # Tightened b2: old basis goes primal-infeasible (slack1 < 0).
+    lp2 = LinearProgram(c=lp.c, A=lp.A, b=[4, 2, 18], ops=lp.ops,
+                        maximize=True)
+    r1 = reoptimize(lp2, r0.basis)
+    cold = solve_lp(lp2)
+    assert r1.success and r1.nit >= 1
+    assert abs(r1.z - cold.z) < 1e-6
+    assert r1.duals is not None
+
+    # Relaxed rhs: basis stays optimal -> zero dual pivots.
+    lp3 = LinearProgram(c=lp.c, A=lp.A, b=[5, 12, 18], ops=lp.ops,
+                        maximize=True)
+    r2 = reoptimize(lp3, r0.basis)
+    assert r2.success and r2.nit == 0
+    assert abs(r2.z - solve_lp(lp3).z) < 1e-6
+
+
+def test_dual_reoptimize_random_agrees_with_cold():
+    from simplex_tpu import reoptimize
+
+    rng = np.random.default_rng(3)
+    agree = tried = 0
+    for _ in range(20):
+        m, n = int(rng.integers(2, 7)), int(rng.integers(2, 7))
+        A = rng.uniform(0.1, 1.5, size=(m, n)).round(2)
+        b = rng.uniform(1.0, 6.0, size=m).round(2)
+        c = rng.uniform(0.1, 2.0, size=n).round(2)
+        lp = LinearProgram(c=c, A=A, b=b, ops=np.full(m, -1), maximize=True)
+        r = solve_lp(lp)
+        if not r.success:
+            continue
+        b2 = (b * rng.uniform(0.6, 1.4, size=m)).round(2)
+        lp2 = LinearProgram(c=c, A=A, b=b2, ops=np.full(m, -1),
+                            maximize=True)
+        rr = reoptimize(lp2, r.basis)
+        cc = solve_lp(lp2)
+        tried += 1
+        assert rr.status == cc.status
+        if rr.success:
+            assert abs(rr.z - cc.z) < 1e-5
+        agree += 1
+    assert tried >= 15 and agree == tried
+
+
+def test_dual_reoptimize_stale_basis_falls_back():
+    from simplex_tpu import reoptimize
+
+    lp = LinearProgram(c=[3, 5], A=[[1, 0], [0, 2], [3, 2]],
+                       b=[4, 12, 18], ops=[-1, -1, -1], maximize=True)
+    bad = np.array([0, 0, 0, 0, 0, 0, 0, 0], dtype=np.int32)
+    r = reoptimize(lp, bad)
+    assert r.success and abs(r.z - 36.0) < 1e-6
