@@ -68,6 +68,13 @@ class SolverOrchestrator:
         report = self._assemble_report(result, viz_html, tables)
         if self.save:
             self.storage.save_solution(report)
+
+        from ..utils.profiling import DEFAULT_METRICS, SolveRecord
+        DEFAULT_METRICS.log(SolveRecord(
+            engine="dense", n_vars=self.lp.n_vars, n_cons=self.lp.n_cons,
+            status=result.status, iterations=result.nit,
+            wall_s=result.solve_time,
+        ))
         return report
 
     # ------------------------------------------------------------------ #

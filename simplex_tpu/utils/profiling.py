@@ -71,6 +71,12 @@ class MetricsLog:
         }
 
 
+# Process-wide default sink: every orchestrated solve records here; set
+# SIMPLEX_TPU_METRICS_FILE to also append JSONL to disk.  Exposed over
+# HTTP at GET /metrics (web/app.py).
+DEFAULT_METRICS = MetricsLog(os.environ.get("SIMPLEX_TPU_METRICS_FILE"))
+
+
 @contextlib.contextmanager
 def trace_span(name: str):
     """jax.profiler annotation + wall-clock span."""

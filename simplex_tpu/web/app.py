@@ -190,6 +190,17 @@ def init_app(storage: StorageService = None) -> WebApp:
                 status=404, content_type="text/plain; charset=utf-8")
         return app.send_file(path, download_name=os.path.basename(path))
 
+    @app.route("/metrics", methods=["GET"])
+    def metrics(ctx):
+        # Additive observability endpoint (the reference has none,
+        # SURVEY.md §5.5): aggregate solve counters as JSON.
+        import json as _json
+
+        from ..utils.profiling import DEFAULT_METRICS, span_stats
+        body = _json.dumps({"solves": DEFAULT_METRICS.summary(),
+                            "spans": span_stats()})
+        return Response(body, content_type="application/json")
+
     return app
 
 

@@ -152,3 +152,16 @@ def test_static_css_served(client):
 
 def test_unknown_route_404(client):
     assert client.get("/nope").status_code == 404
+
+
+def test_metrics_endpoint_counts_solves(client):
+    r = client.get("/metrics")
+    assert r.status == 200
+    before = json.loads(r.text)["solves"].get("solves", 0)
+
+    client.post("/new", data=MAX_FORM)
+    client.post("/solve")
+    r = client.get("/metrics")
+    data = json.loads(r.text)
+    assert data["solves"]["solves"] == before + 1
+    assert data["solves"]["optimal"] >= 1
