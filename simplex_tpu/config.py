@@ -73,6 +73,11 @@ class SolverConfig:
     # History capture cap (pivotSteps snapshots kept for reports).
     max_history: int = 64
 
+    # Exact-refactorization period (pivots between T = B^-1·T0 rebuilds).
+    # None = auto: max(64, m_pad // 8), so the O(m^3) refactor stays a
+    # small fraction of the O(m^2·n)-per-period pivot work at any size.
+    refactor_every: Optional[int] = None
+
     @staticmethod
     def from_env() -> "SolverConfig":
         return SolverConfig(

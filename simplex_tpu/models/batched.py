@@ -189,6 +189,7 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         tol=max(config.tol, 1e-6),
         max_iters=int(max_iters),
         bland_after=int(bland_after),
+        refactor_every=int(config.refactor_every or max(64, m_pad // 8)),
     )
     x, z_min = batched_ops.extract_solution_batch(T, basis, cb.n_vars)
     x = np.maximum(np.asarray(x, np.float64), 0.0)

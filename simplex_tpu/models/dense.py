@@ -211,6 +211,7 @@ def solve_lp(lp: LinearProgram,
     # Bland's rule must engage well before the iteration cap, or cycling can
     # burn the whole budget under Dantzig pricing (anti-cycling guarantee).
     bland_after = min(config.bland_after, max_iters // 2)
+    refactor_every = config.refactor_every or max(64, sf.m_pad // 8)
     T, basis, status, iters = tableau_ops.solve_tableau(
         jnp.asarray(sf.tableau),
         jnp.asarray(sf.basis),
@@ -222,6 +223,7 @@ def solve_lp(lp: LinearProgram,
         tol=float(config.tol if dtype == np.float64 else max(config.tol, 1e-6)),
         max_iters=int(max_iters),
         bland_after=int(bland_after),
+        refactor_every=int(refactor_every),
     )
     status = int(status)
     basis_np = np.asarray(basis)
