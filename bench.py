@@ -204,6 +204,36 @@ def bench_pdhg(B: int = 65536, m: int = 20, n: int = 30):
     }
 
 
+def bench_dense_solve(size: int = 2048):
+    """End-to-end single-LP solve at (size x size): the full production loop
+    (pricing + ratio test + pivot + periodic refactorization), reported as
+    achieved pivots/sec inside a real solve."""
+    from simplex_tpu import LinearProgram, solve_lp
+
+    rng = np.random.default_rng(0)
+    m = n = size
+    # Feasible, bounded, dense: A x <= b with positive A and b.
+    A = rng.uniform(0.05, 1.0, size=(m, n))
+    b = rng.uniform(m * 0.3, m * 0.6, size=m)
+    c = rng.uniform(0.1, 1.0, size=n)
+    lp = LinearProgram(c=c, A=A, b=b, ops=np.full(m, -1), maximize=True)
+
+    res = solve_lp(lp)           # compile + run
+    t0 = time.perf_counter()
+    res = solve_lp(lp)
+    dt = time.perf_counter() - t0
+    pivots = max(res.nit, 1)
+    return {
+        "metric": f"dense_solve_pivots_per_sec_{size}x{size}",
+        "value": round(pivots / dt, 2),
+        "unit": "pivots/s/chip (full loop)",
+        "vs_baseline": 1.0 if res.success else 0.0,
+        "detail": {"wall_s": round(dt, 3), "pivots": res.nit,
+                   "status": res.status,
+                   "z": None if res.z is None else float(res.z)},
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=8192,
@@ -215,6 +245,8 @@ def main():
                    help="instance count for --batch / --pdhg")
     p.add_argument("--pdhg", action="store_true",
                    help="run the first-order (PDHG) sweep benchmark")
+    p.add_argument("--solve-dense", action="store_true",
+                   help="run the end-to-end single-LP dense-solve benchmark")
     args = p.parse_args()
 
     try:
@@ -222,6 +254,8 @@ def main():
             out = bench_pdhg(B=args.batch_size or 65536)
         elif args.batch:
             out = bench_batched_solve(B=args.batch_size or 1024)
+        elif args.solve_dense:
+            out = bench_dense_solve(args.size if args.size != 8192 else 2048)
         else:
             out = bench_pivot_update(args.size, args.iters)
     except Exception as e:  # fall back to a smaller shape on OOM etc.
