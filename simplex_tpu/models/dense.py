@@ -212,22 +212,44 @@ def solve_lp(lp: LinearProgram,
     # burn the whole budget under Dantzig pricing (anti-cycling guarantee).
     bland_after = min(config.bland_after, max_iters // 2)
     refactor_every = config.refactor_every or max(64, sf.m_pad // 8)
-    T, basis, status, iters = tableau_ops.solve_tableau(
-        jnp.asarray(sf.tableau),
-        jnp.asarray(sf.basis),
-        jnp.asarray(sf.col_mask_p1),
-        jnp.asarray(sf.col_mask_p2),
-        jnp.asarray(sf.obj_row_p1),
-        jnp.asarray(sf.obj_row_p2),
-        need_phase1=sf.need_phase1,
-        tol=float(config.tol if dtype == np.float64 else max(config.tol, 1e-6)),
-        max_iters=int(max_iters),
-        bland_after=int(bland_after),
-        refactor_every=int(refactor_every),
-    )
-    status = int(status)
-    basis_np = np.asarray(basis)
-    nit = int(iters)
+    tol = float(config.tol if dtype == np.float64 else max(config.tol, 1e-6))
+
+    # Wall-clock budget (the reference's scipy time_limit=10 role): the
+    # device loop runs in fixed-size chunks — ONE compiled program reused —
+    # with the clock checked between chunks; a still-running solve resumes
+    # from its current basis via the warm-start path.  Mid-phase-1 states
+    # (artificials basic) cannot warm-resume, so the first chunk carries
+    # the full iteration budget and later chunks only ever continue
+    # phase 2.
+    chunk = int(max_iters)
+    sf_run = sf
+    nit = 0
+    while True:
+        T, basis, status, iters = tableau_ops.solve_tableau(
+            jnp.asarray(sf_run.tableau),
+            jnp.asarray(sf_run.basis),
+            jnp.asarray(sf_run.col_mask_p1),
+            jnp.asarray(sf_run.col_mask_p2),
+            jnp.asarray(sf_run.obj_row_p1),
+            jnp.asarray(sf_run.obj_row_p2),
+            need_phase1=sf_run.need_phase1,
+            tol=tol,
+            max_iters=chunk,
+            bland_after=int(bland_after),
+            refactor_every=int(refactor_every),
+        )
+        status = int(status)
+        basis_np = np.asarray(basis)
+        nit += int(iters)
+        if status != 1 or nit >= config.max_iters:
+            break
+        if config.time_limit is not None and \
+                time.perf_counter() - t0 > config.time_limit:
+            break
+        warm = _try_warm_start(sf, basis_np)
+        if warm is None:
+            break                      # cannot resume — report the cap
+        sf_run = warm
 
     if status != STATUS_OPTIMAL:
         return SimplexResult(
