@@ -54,6 +54,10 @@ class SolverConfig:
     pivot_rule: str = "dantzig"
     bland_after: int = 2048
 
+    # Presolve reductions before the device solve (core/presolve.py) —
+    # the reference's scipy ``presolve: True`` role.
+    presolve: bool = True
+
     # Feasibility / optimality tolerance in the working dtype.
     tol: float = 1e-6
 

@@ -182,6 +182,34 @@ def solve_lp(lp: LinearProgram,
     t0 = time.perf_counter()
     dtype = np.dtype(config.dtype)
 
+    if config.presolve and warm_basis is None:
+        from ..core.presolve import presolve as _presolve
+
+        pr = _presolve(lp)
+        if pr.decided:
+            return SimplexResult(
+                x=None, fun=None, status=pr.status, success=False,
+                message=STATUS_MESSAGES.get(pr.status, "Unknown status."),
+                nit=0, solve_time=time.perf_counter() - t0,
+            )
+        if pr.reduced:
+            inner_cfg = dataclasses.replace(config, presolve=False)
+            inner = solve_lp(pr.lp, inner_cfg)
+            if not inner.success:
+                return inner
+            x = pr.postsolve_x(inner.x)
+            c_min = -lp.c if lp.maximize else lp.c
+            fun = float(c_min @ x)
+            return SimplexResult(
+                x=x, fun=fun, status=0, success=True,
+                message=inner.message, nit=inner.nit, basis=inner.basis,
+                z=(-fun if lp.maximize else fun) + 0.0,
+                solve_time=time.perf_counter() - t0,
+                duals=pr.postsolve_duals(inner.duals),
+                reduced_costs=pr.postsolve_reduced_costs(
+                    inner.reduced_costs, lp),
+            )
+
     if lp.n_cons == 0:
         # No constraints: optimum is x=0 unless some cost direction improves,
         # in which case the LP is unbounded (x >= 0 only). Mirrors the
