@@ -187,10 +187,10 @@ def bench_pdhg(B: int = 65536, m: int = 20, n: int = 30):
     args = (jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
             jnp.asarray(is_eq))
     jax.block_until_ready(args)
-    out = _pdhg_solve(*args, max_iters=2000, tol=1e-4)
+    out = _pdhg_solve(*args, max_iters=10000, tol=1e-4)
     float(jnp.sum(out[0]))
     t0 = time.perf_counter()
-    out = _pdhg_solve(*args, max_iters=2000, tol=1e-4)
+    out = _pdhg_solve(*args, max_iters=10000, tol=1e-4)
     float(jnp.sum(out[0]))
     dt = time.perf_counter() - t0
     converged = int(np.sum(np.asarray(out[5])))

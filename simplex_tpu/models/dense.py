@@ -265,6 +265,7 @@ def solve_lp(lp: LinearProgram,
             max_iters=chunk,
             bland_after=int(bland_after),
             refactor_every=int(refactor_every),
+            devex=config.pivot_rule == "devex",
         )
         status = int(status)
         basis_np = np.asarray(basis)

@@ -38,19 +38,28 @@ RUNNING = -1  # internal sentinel while the pivot loop is active
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def select_pivot(T, basis, col_mask, tol, use_bland):
+def select_pivot(T, basis, col_mask, tol, use_bland, weights=None):
     """Choose the entering column and leaving row.
 
     Returns ``(col, row, optimal, unbounded)``.  Data-dependent control flow is
     expressed as masked argmins so the whole step stays inside one XLA program
     (SURVEY.md §7 "degeneracy & cycling ... masked argmins").
+
+    ``weights`` (optional, (n,)): Devex reference weights — pricing becomes
+    ``argmax rc^2 / w`` over eligible columns (approximate steepest edge,
+    Forrest-Goldfarb), which typically needs far fewer pivots than Dantzig
+    on large problems.  Bland's rule still overrides for anti-cycling.
     """
     rc = jnp.where(col_mask, T[-1, :-1], jnp.inf)
     eligible = rc < -tol
 
-    s_dantzig = jnp.argmin(rc)
+    if weights is None:
+        s_price = jnp.argmin(rc)
+    else:
+        score = jnp.where(eligible, (rc * rc) / weights, -jnp.inf)
+        s_price = jnp.argmax(score)
     s_bland = jnp.argmax(eligible)  # first eligible index
-    s = jnp.where(use_bland, s_bland, s_dantzig)
+    s = jnp.where(use_bland, s_bland, s_price)
 
     optimal = ~jnp.any(eligible)
 
@@ -115,8 +124,28 @@ def refactor_tableau(T0_rows, basis, raw_obj):
     return T_new
 
 
+def _devex_update(w, T, basis, r, s):
+    """Forrest-Goldfarb Devex weight update for pivot (r, s).
+
+    ``alpha_j = T[r, j] / T[r, s]`` (the transformed pivot row);
+    ``w_j <- max(w_j, alpha_j^2 * w_s)`` for every column, the leaving
+    variable restarts at ``max(w_s / alpha_s^2, 1) = max(w_s/1, 1)`` in the
+    normalized row, and the whole reference framework resets to 1 when the
+    weights overflow their useful range.
+    """
+    piv_row = T[r, :-1]
+    alpha = piv_row / piv_row[s]
+    w_s = w[s]
+    w_new = jnp.maximum(w, (alpha * alpha) * w_s)
+    j_out = basis[r]
+    w_new = w_new.at[j_out].set(jnp.maximum(w_s, 1.0))
+    w_new = w_new.at[s].set(1.0)
+    return jnp.where(jnp.max(w_new) > 1e8, jnp.ones_like(w_new), w_new)
+
+
 def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
-               tol, max_iters, bland_after, refactor_every, iters0):
+               tol, max_iters, bland_after, refactor_every, iters0,
+               devex: bool = False):
     """Pivot until optimal/unbounded/iteration-cap via ``lax.while_loop``.
 
     Numerics: the tableau is refactorized from the original data every
@@ -126,13 +155,15 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
     """
 
     def cond(state):
-        _, _, iters, status, _, _, _ = state
+        _, _, iters, status, _, _, _, _ = state
         return (status == RUNNING) & (iters < max_iters)
 
     def body(state):
-        T, basis, iters, _, since_ref, stall, best_obj = state
+        T, basis, iters, _, since_ref, stall, best_obj, w = state
         use_bland = iters >= bland_after
-        s, r, optimal, unbounded = select_pivot(T, basis, col_mask, tol, use_bland)
+        s, r, optimal, unbounded = select_pivot(
+            T, basis, col_mask, tol, use_bland,
+            weights=w if devex else None)
         want_stop = optimal | unbounded
         fresh = since_ref == 0
 
@@ -148,23 +179,25 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
         )
 
         def accept(args):
-            T, basis, since_ref = args
-            return T, basis, since_ref
+            T, basis, since_ref, w = args
+            return T, basis, since_ref, w
 
         def do_refactor(args):
-            T, basis, _ = args
+            T, basis, _, w = args
             T_new = refactor_tableau(T0_rows, basis, raw_obj)
             ok = jnp.all(jnp.isfinite(T_new))
             T = jnp.where(ok, T_new, T)
-            return T, basis, jnp.int32(0)
+            return T, basis, jnp.int32(0), w
 
         def do_pivot(args):
-            T, basis, since_ref = args
+            T, basis, since_ref, w = args
+            if devex:
+                w = _devex_update(w, T, basis, r, s)
             T, basis = pivot_update(T, basis, r, s)
-            return T, basis, since_ref + 1
+            return T, basis, since_ref + 1, w
 
-        T, basis, since_ref = lax.switch(
-            branch, [accept, do_refactor, do_pivot], (T, basis, since_ref)
+        T, basis, since_ref, w = lax.switch(
+            branch, [accept, do_refactor, do_pivot], (T, basis, since_ref, w)
         )
         obj = -T[-1, -1]
         improved = obj < best_obj - tol * (1.0 + jnp.abs(best_obj))
@@ -176,14 +209,15 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
             RUNNING,
         )
         iters = iters + (branch == 2).astype(iters.dtype)
-        return T, basis, iters, status, since_ref, stall, best_obj
+        return T, basis, iters, status, since_ref, stall, best_obj, w
 
+    w0 = jnp.ones((T.shape[1] - 1,), T.dtype)
     # since_ref starts beyond the period so the very first verdict is also
     # confirmed against a fresh refactorization.
-    T, basis, iters, status, _, _, _ = lax.while_loop(
+    T, basis, iters, status, _, _, _, _ = lax.while_loop(
         cond, body,
         (T, basis, iters0, jnp.int32(RUNNING), jnp.int32(1), jnp.int32(0),
-         jnp.asarray(jnp.inf, T.dtype)),
+         jnp.asarray(jnp.inf, T.dtype), w0),
     )
     status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
     return T, basis, iters, status
@@ -231,12 +265,13 @@ def _evict_artificials(T, basis, art_mask_ext, col_mask_p2, tol):
 @functools.partial(
     jax.jit,
     static_argnames=("need_phase1", "tol", "max_iters", "bland_after",
-                     "feas_tol", "refactor_every"),
+                     "feas_tol", "refactor_every", "devex"),
 )
 def solve_tableau(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p1, obj_row_p2,
                   need_phase1: bool, tol: float = 1e-6,
                   max_iters: int = 16384, bland_after: int = 2048,
-                  feas_tol: float = 1e-5, refactor_every: int = 64):
+                  feas_tol: float = 1e-5, refactor_every: int = 64,
+                  devex: bool = False):
     """Full two-phase dense simplex solve on one padded tableau.
 
     Returns ``(T, basis, status, iters)`` with scipy-compatible status codes
@@ -249,7 +284,8 @@ def solve_tableau(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p1, obj_row_p2,
     if need_phase1:
         T, basis, iters, status = _run_phase(
             T0, basis0, col_mask_p1, T0_rows, obj_row_p1,
-            tol, max_iters, bland_after, refactor_every, iters0
+            tol, max_iters, bland_after, refactor_every, iters0,
+            devex=devex,
         )
         phase1_obj = -T[-1, -1]
         infeasible = phase1_obj > feas_tol * b_scale
@@ -269,7 +305,8 @@ def solve_tableau(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p1, obj_row_p2,
     T = _price_out(T, basis, obj_row_p2)
     T2, basis2, iters2, status2 = _run_phase(
         T, basis, col_mask_p2, T0_rows, obj_row_p2,
-        tol, max_iters, bland_after, refactor_every, iters
+        tol, max_iters, bland_after, refactor_every, iters,
+        devex=devex,
     )
 
     final_status = jnp.where(

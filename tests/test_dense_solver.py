@@ -395,3 +395,27 @@ def test_dual_reoptimize_stale_basis_falls_back():
     bad = np.array([0, 0, 0, 0, 0, 0, 0, 0], dtype=np.int32)
     r = reoptimize(lp, bad)
     assert r.success and abs(r.z - 36.0) < 1e-6
+
+
+def test_devex_pricing_matches_dantzig():
+    """Devex (approximate steepest-edge) pricing: same optima, typically
+    fewer pivots; Bland anti-cycling still overrides."""
+    from simplex_tpu.config import SolverConfig
+
+    devex = SolverConfig(pivot_rule="devex")
+    rng = np.random.default_rng(42)
+    for _ in range(40):
+        m, n = int(rng.integers(2, 10)), int(rng.integers(2, 10))
+        A = rng.normal(size=(m, n)).round(2)
+        ops = rng.choice([-1, 0, 1], size=m)
+        x0 = rng.uniform(0, 3, size=n).round(2)
+        slack = rng.uniform(0.1, 2.0, size=m).round(2)
+        b = (A @ x0 + np.where(ops == -1, slack,
+                               np.where(ops == 1, -slack, 0.0))).round(4)
+        lp = LinearProgram(c=rng.normal(size=n).round(2), A=A, b=b, ops=ops,
+                           maximize=bool(rng.integers(0, 2)))
+        r1 = solve_lp(lp)
+        r2 = solve_lp(lp, devex)
+        assert r1.status == r2.status
+        if r1.success:
+            assert abs(r1.z - r2.z) <= 1e-5 * (1 + abs(r1.z))
