@@ -38,6 +38,13 @@ def _print_report(report: Dict):
         for var, val in sol["valores_variables"].items():
             print(f"  {var} = {val:.4f}")
         print(f"  Z = {sol['valor_optimo_z']:.4f}")
+    sens = report.get("analisis_sensibilidad")
+    if sens:
+        print("\n--- Análisis de sensibilidad ---")
+        for con, val in sens["precios_sombra"].items():
+            print(f"  {con}: precio sombra = {val:.4f}")
+        for var, val in sens["costos_reducidos"].items():
+            print(f"  {var}: costo reducido = {val:.4f}")
 
 
 def cmd_interactive(args) -> int:

@@ -115,11 +115,11 @@ class SolverOrchestrator:
         if result.success and result.duals is not None:
             report["analisis_sensibilidad"] = {
                 "precios_sombra": {
-                    f"restriccion_{i+1}": round(float(d), 10)
+                    f"restriccion_{i+1}": round(float(d), 10) + 0.0
                     for i, d in enumerate(result.duals)
                 },
                 "costos_reducidos": {
-                    v: round(float(r), 10)
+                    v: round(float(r), 10) + 0.0
                     for v, r in zip(self.lp.variables, result.reduced_costs)
                 },
             }
