@@ -86,3 +86,26 @@ def test_netlib_style_revised_matches_scipy(seed):
     assert r.status == ref.status
     if ref.status == 0:
         assert r.z == pytest.approx(ref.fun, rel=1e-5)
+
+
+def test_netlib_style_large_parity_revised():
+    """BASELINE config 4 at non-toy size: generated netlib-style LPs
+    (n >> m regime) through the revised simplex, objective parity vs
+    scipy/HiGHS to 1e-4 relative (achieved ~1e-13 in practice)."""
+    for seed, (m, n) in [(1, (120, 400))]:
+        lp = generate_netlib_style(seed, m=m, n=n)
+        A_ub, b_ub, A_eq, b_eq = [], [], [], []
+        for i in range(lp.n_cons):
+            if lp.ops[i] == -1:
+                A_ub.append(lp.A[i]); b_ub.append(lp.b[i])
+            elif lp.ops[i] == 1:
+                A_ub.append(-lp.A[i]); b_ub.append(-lp.b[i])
+            else:
+                A_eq.append(lp.A[i]); b_eq.append(lp.b[i])
+        cs = lp.c * (-1 if lp.maximize else 1)
+        ref = linprog(cs, A_ub=A_ub or None, b_ub=b_ub or None,
+                      A_eq=A_eq or None, b_eq=b_eq or None, method="highs")
+        r = RevisedSimplexSolver().solve(lp)
+        assert ref.status == 0 and r.status == 0
+        zref = -ref.fun if lp.maximize else ref.fun
+        assert abs(r.z - zref) < 1e-4 * (1 + abs(zref))
