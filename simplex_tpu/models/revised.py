@@ -59,21 +59,29 @@ def _refactor(A_std, b, basis):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tol", "max_iters", "bland_after", "refactor_every"),
+    static_argnames=("tol", "max_iters", "bland_after", "refactor_every",
+                     "devex"),
 )
 def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
                        B_inv, x_B, basis, iters0, in_phase2,
                        tol: float = 1e-6, max_iters: int = 8192,
-                       bland_after: int = 2048, refactor_every: int = 64):
+                       bland_after: int = 2048, refactor_every: int = 64,
+                       devex: bool = False):
     """One phase of revised simplex.  Returns (B_inv, x_B, basis, iters,
-    status, objective)."""
+    status, objective).
+
+    ``devex``: Forrest-Goldfarb reference-weight pricing.  The weight
+    update needs the transformed pivot row ``alpha = B_inv[r] @ A_std`` —
+    one extra O(mn) MXU matvec per pivot (BTRAN+PRICE in production
+    terms), typically repaid severalfold in saved iterations.
+    """
 
     def cond(state):
-        _B, _x, _bas, iters, status, _since = state
+        _B, _x, _bas, iters, status, _since, _w = state
         return (status == RUNNING) & (iters < max_iters)
 
     def body(state):
-        B_inv, x_B, basis, iters, status, since = state
+        B_inv, x_B, basis, iters, status, since, w = state
 
         do_ref = since >= refactor_every
         B_inv, x_B = lax.cond(
@@ -87,7 +95,12 @@ def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
         rc = jnp.where(col_mask, rc, jnp.inf)
         eligible = rc < -tol
         use_bland = iters >= bland_after
-        s = jnp.where(use_bland, jnp.argmax(eligible), jnp.argmin(rc))
+        if devex:
+            score = jnp.where(eligible, (rc * rc) / w, -jnp.inf)
+            s_price = jnp.argmax(score)
+        else:
+            s_price = jnp.argmin(rc)
+        s = jnp.where(use_bland, jnp.argmax(eligible), s_price)
         optimal = ~jnp.any(eligible)
 
         # FTRAN + ratio test.
@@ -117,24 +130,33 @@ def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
             RUNNING)
 
         def do_pivot(args):
-            B_inv, x_B, basis = args
+            B_inv, x_B, basis, w = args
             dr = d[r]
+            if devex:
+                alpha = (B_inv[r] @ A_std) / dr            # pivot row
+                w_s = w[s]
+                w_new = jnp.maximum(w, (alpha * alpha) * w_s)
+                w_new = w_new.at[basis[r]].set(jnp.maximum(w_s, 1.0))
+                w_new = w_new.at[s].set(1.0)
+                w = jnp.where(jnp.max(w_new) > 1e8,
+                              jnp.ones_like(w_new), w_new)
             er = B_inv[r] / dr
             B_inv2 = B_inv - d[:, None] * er[None, :]
             B_inv2 = B_inv2.at[r].set(er)
             x_B2 = x_B - theta * d
             x_B2 = x_B2.at[r].set(theta)
             basis2 = basis.at[r].set(s.astype(basis.dtype))
-            return B_inv2, jnp.maximum(x_B2, 0.0), basis2
+            return B_inv2, jnp.maximum(x_B2, 0.0), basis2, w
 
-        B_inv, x_B, basis = lax.cond(
-            stop, lambda a: a, do_pivot, (B_inv, x_B, basis))
+        B_inv, x_B, basis, w = lax.cond(
+            stop, lambda a: a, do_pivot, (B_inv, x_B, basis, w))
         iters = iters + (~stop).astype(iters.dtype)
         since = jnp.where(do_ref, jnp.int32(1), since + 1)
-        return B_inv, x_B, basis, iters, new_status, since
+        return B_inv, x_B, basis, iters, new_status, since, w
 
-    state = (B_inv, x_B, basis, iters0, jnp.int32(RUNNING), jnp.int32(1))
-    B_inv, x_B, basis, iters, status, _ = lax.while_loop(cond, body, state)
+    w0 = jnp.ones((A_std.shape[1],), A_std.dtype)
+    state = (B_inv, x_B, basis, iters0, jnp.int32(RUNNING), jnp.int32(1), w0)
+    B_inv, x_B, basis, iters, status, _, _ = lax.while_loop(cond, body, state)
     status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
     obj = cost[basis] @ x_B
     return B_inv, x_B, basis, iters, status, obj
@@ -178,7 +200,8 @@ class RevisedSimplexSolver:
             B_inv, x_B, basis, iters, status, obj1 = _run_phase_revised(
                 A_std, b, cost1, col_p1, art_ext, B_inv, x_B, basis, iters,
                 jnp.bool_(False), tol=tol, max_iters=max_iters,
-                bland_after=bland_after)
+                bland_after=bland_after,
+                devex=self.config.pivot_rule == "devex")
             b_scale = 1.0 + float(np.max(np.abs(sf.tableau[:m_pad, n_pad])))
             if int(status) != STATUS_OPTIMAL:
                 return self._fail(int(status), int(iters), t0)
@@ -188,7 +211,8 @@ class RevisedSimplexSolver:
         B_inv, x_B, basis, iters, status, obj = _run_phase_revised(
             A_std, b, cost2, col_p2, art_ext, B_inv, x_B, basis, iters,
             jnp.bool_(True), tol=tol, max_iters=max_iters,
-            bland_after=bland_after)
+            bland_after=bland_after,
+            devex=self.config.pivot_rule == "devex")
         status = int(status)
         nit = int(iters)
         if status != STATUS_OPTIMAL:
