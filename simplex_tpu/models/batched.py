@@ -292,3 +292,71 @@ def solve_lp_batch(lps: Sequence[LinearProgram],
                    config: SolverConfig = DEFAULT_CONFIG) -> BatchResult:
     """Convenience wrapper: batched solve of a list of LinearPrograms."""
     return BatchedSimplexSolver(config).solve_many(lps)
+
+
+def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
+                        maximize=True):
+    """Pipelined sweep over an iterable of ``(c, A, b, ops)`` array batches.
+
+    JAX dispatch is asynchronous, so staging batch k+1 into device memory
+    (``device_put``) is issued while batch k's solve is still executing —
+    end-to-end throughput approaches ``max(transfer, solve)`` instead of
+    their sum (measured: staging alone costs ~5x the solve at 1024x30x50
+    over a device tunnel).  Yields one :class:`BatchResult` per input
+    batch, in order.  All batches must share (m, n) and ``ops`` layout so
+    one compiled program serves the whole sweep.
+    """
+    import time as _time
+
+    import jax
+
+    def stage(batch):
+        c, A, b, ops = batch
+        cb = compile_batch_uniform(c, A, b, ops, maximize,
+                                   dtype=np.dtype(config.dtype))
+        dev_args = [jnp.asarray(x) for x in
+                    (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
+                     cb.obj_row_p1, cb.obj_row_p2, cb.need_p1)]
+        return cb, dev_args
+
+    it = iter(batches)
+    try:
+        current = stage(next(it))
+    except StopIteration:
+        return
+
+    m_pad = current[0].basis.shape[1]
+    n_pad = current[0].col_mask_p1.shape[1]
+    max_iters = min(config.max_iters, 50 * (m_pad + n_pad))
+    bland_after = min(config.bland_after, max_iters // 2)
+    refactor_every = int(config.refactor_every or max(64, m_pad // 8))
+
+    while current is not None:
+        cb, dev_args = current
+        t0 = _time.perf_counter()
+        out = batched_ops.solve_tableau_batch(
+            *dev_args, tol=max(config.tol, 1e-6), max_iters=int(max_iters),
+            bland_after=int(bland_after), refactor_every=refactor_every,
+        )
+        # Stage the NEXT batch while the current solve runs on device.
+        try:
+            current = stage(next(it))
+        except StopIteration:
+            current = None
+
+        T, basis, status, iters = out
+        x, z_min = batched_ops.extract_solution_batch(T, basis, cb.n_vars)
+        x = np.maximum(np.asarray(x, np.float64), 0.0)
+        fun = np.asarray(z_min, np.float64)
+        status = np.asarray(status)
+        z = np.where(cb.maximize, -fun, fun) + 0.0
+        ok = status == STATUS_OPTIMAL
+        yield BatchResult(
+            x=np.where(ok[:, None], x, np.nan),
+            z=np.where(ok, z, np.nan),
+            fun=np.where(ok, fun, np.nan),
+            status=status,
+            success=ok,
+            nit=int(iters),
+            solve_time=_time.perf_counter() - t0,
+        )

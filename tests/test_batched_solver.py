@@ -138,3 +138,31 @@ def test_batched_rejects_nonfinite_inputs():
     b = np.ones((1, 1))
     with pytest.raises(ValueError, match="finit"):
         BatchedSimplexSolver().solve_arrays(c, A, b, np.array([-1]))
+
+
+def test_stream_pipeline_matches_single_batches():
+    """solve_arrays_stream: pipelined sweep yields the same per-batch
+    results as independent solve_arrays calls, in order."""
+    from simplex_tpu.models.batched import (
+        BatchedSimplexSolver, solve_arrays_stream,
+    )
+
+    rng = np.random.default_rng(8)
+    m, n, B = 10, 14, 32
+    ops = np.full((m,), -1)
+
+    def make(seed):
+        r = np.random.default_rng(seed)
+        A = r.uniform(0.05, 1.0, size=(B, m, n)).astype(np.float32)
+        b = r.uniform(1.0, 5.0, size=(B, m)).astype(np.float32)
+        c = r.uniform(0.1, 1.0, size=(B, n)).astype(np.float32)
+        return c, A, b, ops
+
+    batches = [make(s) for s in range(3)]
+    solver = BatchedSimplexSolver()
+    singles = [solver.solve_arrays(*bt, maximize=True) for bt in batches]
+    streamed = list(solve_arrays_stream(batches, maximize=True))
+    assert len(streamed) == 3
+    for s1, s2 in zip(singles, streamed):
+        np.testing.assert_array_equal(s1.status, s2.status)
+        np.testing.assert_allclose(s1.z, s2.z, rtol=1e-6)
