@@ -9,6 +9,7 @@ rebuilt on top.
 """
 __version__ = "0.1.0"
 
+from .config import SolverConfig
 from .core.parsing import (
     Constraint,
     ConstraintsParser,
@@ -16,5 +17,29 @@ from .core.parsing import (
     ObjectiveFunctionParser,
 )
 from .core.problem import LinearProgram, compile_standard_form
+from .models.batched import (BatchedSimplexSolver, BatchResult,
+                             solve_arrays_stream, solve_lp_batch)
 from .models.dense import (DenseSimplexSolver, SimplexResult,
                            reoptimize, solve_lp)
+from .models.pdhg import PdhgSolver
+from .models.revised import RevisedSimplexSolver
+
+__all__ = [
+    "BatchResult",
+    "BatchedSimplexSolver",
+    "Constraint",
+    "ConstraintsParser",
+    "ConstraintsValidator",
+    "DenseSimplexSolver",
+    "LinearProgram",
+    "ObjectiveFunctionParser",
+    "PdhgSolver",
+    "RevisedSimplexSolver",
+    "SimplexResult",
+    "SolverConfig",
+    "compile_standard_form",
+    "reoptimize",
+    "solve_arrays_stream",
+    "solve_lp",
+    "solve_lp_batch",
+]
