@@ -167,7 +167,9 @@ def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50):
         "detail": {"device_solve_s": round(dt, 3),
                    "end_to_end_wall_s": round(wall, 3),
                    "n_optimal": res.n_optimal,
-                   "pivot_iters": res.nit},
+                   "pivot_iters": res.nit,
+                   "mean_pivots": (None if res.pivots is None
+                                   else round(float(np.mean(res.pivots)), 2))},
     }
 
 

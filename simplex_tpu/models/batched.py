@@ -45,6 +45,7 @@ class BatchResult:
     status: np.ndarray     # (B,) int32 scipy-compatible codes
     success: np.ndarray    # (B,) bool
     nit: int               # shared loop trip count
+    pivots: Optional[np.ndarray] = None  # (B,) per-instance pivot counts
     solve_time: float = 0.0
 
     @property
@@ -181,7 +182,7 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         max_iters = min(config.max_iters, 50 * (m_pad + n_pad))
     bland_after = min(config.bland_after, max_iters // 2)
 
-    T, basis, status, iters = batched_ops.solve_tableau_batch(
+    T, basis, status, iters, pivots = batched_ops.solve_tableau_batch(
         jnp.asarray(cb.T0), jnp.asarray(cb.basis),
         jnp.asarray(cb.col_mask_p1), jnp.asarray(cb.col_mask_p2),
         jnp.asarray(cb.obj_row_p1), jnp.asarray(cb.obj_row_p2),
@@ -204,6 +205,7 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         status=status,
         success=ok,
         nit=int(iters),
+        pivots=np.asarray(pivots),
         solve_time=time.perf_counter() - t0,
     )
 
@@ -344,7 +346,7 @@ def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
         except StopIteration:
             current = None
 
-        T, basis, status, iters = out
+        T, basis, status, iters, pivots = out
         x, z_min = batched_ops.extract_solution_batch(T, basis, cb.n_vars)
         x = np.maximum(np.asarray(x, np.float64), 0.0)
         fun = np.asarray(z_min, np.float64)
@@ -358,5 +360,6 @@ def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
             status=status,
             success=ok,
             nit=int(iters),
+            pivots=np.asarray(pivots),
             solve_time=_time.perf_counter() - t0,
         )

@@ -159,8 +159,9 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
                    phase-2 costs).
       need_p1:     (B,) bool — instance starts in phase 1.
 
-    Returns ``(T, basis, status, iters)``; ``status`` is per-instance with
-    scipy-compatible codes, ``iters`` the shared loop trip count.
+    Returns ``(T, basis, status, iters, pivots)``; ``status`` is
+    per-instance with scipy-compatible codes, ``iters`` the shared loop
+    trip count, ``pivots`` the per-instance pivot counts.
     """
     Bsz = T0.shape[0]
     b_scale = 1.0 + jnp.max(jnp.abs(T0[:, :-1, -1]), axis=1)
@@ -172,11 +173,11 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
     phase0 = jnp.where(need_p1, jnp.int32(1), jnp.int32(2))
 
     def cond(state):
-        _T, _basis, _phase, status, iters, _since = state
+        _T, _basis, _phase, status, iters, _since, _piv = state
         return jnp.any(status == RUNNING) & (iters < max_iters)
 
     def body(state):
-        T, basis, phase, status, iters, since_ref = state
+        T, basis, phase, status, iters, since_ref, pivots = state
         live = status == RUNNING
         in_p1 = phase == 1
         col_mask = jnp.where(in_p1[:, None], col_mask_p1, col_mask_p2)
@@ -232,23 +233,26 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
         # --- Pivot all still-running, non-flipping instances ------------ #
         active = (status == RUNNING) & ~to_p2 & live & ~optimal & ~unbounded
         T, basis = _pivot_update_b(T, basis, r, s, active)
+        pivots = pivots + active.astype(pivots.dtype)
 
         since_ref = jnp.where(do_refactor, jnp.int32(1), since_ref + 1)
-        return (T, basis, phase, status, iters + 1, since_ref)
+        return (T, basis, phase, status, iters + 1, since_ref, pivots)
 
     state0 = (
         T0, basis0, phase0,
         jnp.full((Bsz,), RUNNING, jnp.int32),
         jnp.int32(0), jnp.int32(1),
+        jnp.zeros((Bsz,), jnp.int32),
     )
-    T, basis, phase, status, iters, _ = lax.while_loop(cond, body, state0)
+    T, basis, phase, status, iters, _, pivots = lax.while_loop(
+        cond, body, state0)
 
     # Final refactorization so reported objectives/solutions are drift-free.
     raw_obj = jnp.where((phase == 1)[:, None], obj_row_p1, obj_row_p2)
     T = _refactor_b(T, basis, T0_rows, raw_obj,
                     jnp.ones((Bsz,), bool))
     status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
-    return T, basis, status, iters
+    return T, basis, status, iters, pivots
 
 
 def extract_solution_batch(T, basis, n_vars: int):
