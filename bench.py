@@ -243,7 +243,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=8192,
                    help="tableau dimension for the pivot-update benchmark")
-    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--iters", type=int, default=64)
     p.add_argument("--batch", action="store_true",
                    help="run the batched-solve benchmark instead")
     p.add_argument("--batch-size", type=int, default=None,
