@@ -41,6 +41,17 @@ RUNNING = -1
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _gather_col(T, s):
+    """Column ``T[b, :, s[b]]`` per instance as a one-hot MXU contraction.
+
+    ``take_along_axis`` along the lane (last) axis compiles to a slow
+    multi-pass gather on TPU; the einsum reads T exactly once and runs on
+    the MXU.
+    """
+    hot = jax.nn.one_hot(s, T.shape[2], dtype=T.dtype)      # (B, N)
+    return jnp.einsum("bmn,bn->bm", T, hot)
+
+
 def _select_pivot_b(T, basis, col_mask, tol, use_bland):
     """Batched pivot selection. All inputs carry a leading batch axis.
 
@@ -56,7 +67,7 @@ def _select_pivot_b(T, basis, col_mask, tol, use_bland):
 
     optimal = ~jnp.any(eligible, axis=-1)
 
-    col = jnp.take_along_axis(T[:, :-1, :], s[:, None, None], axis=2)[:, :, 0]
+    col = _gather_col(T, s)[:, :-1]
     rhs = T[:, :-1, -1]
     positive = col > tol
     ratios = jnp.where(positive, rhs / jnp.where(positive, col, 1.0), jnp.inf)
@@ -73,12 +84,14 @@ def _select_pivot_b(T, basis, col_mask, tol, use_bland):
 def _pivot_update_b(T, basis, r, s, active):
     """Batched masked rank-1 pivot: inactive instances pass through untouched."""
     B, M, N = T.shape
-    piv_row = jnp.take_along_axis(T, r[:, None, None], axis=1)[:, 0, :]
-    pivot = jnp.take_along_axis(piv_row, s[:, None], axis=1)[:, 0]
+    row_hot_f = jax.nn.one_hot(r, M, dtype=T.dtype)              # (B, M)
+    piv_row = jnp.einsum("bm,bmn->bn", row_hot_f, T)             # row gather
+    col_hot_f = jax.nn.one_hot(s, N, dtype=T.dtype)              # (B, N)
+    pivot = jnp.einsum("bn,bn->b", piv_row, col_hot_f)
     safe_pivot = jnp.where(active & (jnp.abs(pivot) > 0), pivot, 1.0)
     piv_row = piv_row / safe_pivot[:, None]
 
-    col = jnp.take_along_axis(T, s[:, None, None], axis=2)[:, :, 0]
+    col = _gather_col(T, s)
     T_new = T - col[:, :, None] * piv_row[:, None, :]
 
     row_hot = jax.nn.one_hot(r, M, dtype=bool, axis=-1)          # (B, M)
@@ -127,7 +140,11 @@ def _refactor_b(T, basis, T0_rows, raw_obj, active):
     Instances that are inactive or whose basis matrix is singular keep their
     incremental tableau.
     """
-    Bmat = jnp.take_along_axis(T0_rows, basis[:, None, :], axis=2)
+    # Basis-column extraction as a one-hot batched matmul (lane-axis
+    # take_along_axis is a slow multi-pass gather on TPU):
+    # Bmat[b, k, i] = T0_rows[b, k, basis[b, i]].
+    hot = jax.nn.one_hot(basis, T0_rows.shape[2], dtype=T0_rows.dtype)
+    Bmat = jnp.einsum("bkn,bin->bki", T0_rows, hot)
     T_rows = jnp.linalg.solve(Bmat, T0_rows)
     basis_costs = jnp.take_along_axis(raw_obj, basis, axis=1)
     obj = raw_obj - jnp.einsum("bm,bmn->bn", basis_costs, T_rows)
