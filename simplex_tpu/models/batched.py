@@ -296,6 +296,39 @@ def solve_lp_batch(lps: Sequence[LinearProgram],
     return BatchedSimplexSolver(config).solve_many(lps)
 
 
+def solve_lp_sweep(lps: Sequence[LinearProgram],
+                   config: SolverConfig = DEFAULT_CONFIG):
+    """Heterogeneous sweep: arbitrary LPs, bucketed by compiled shape.
+
+    Groups instances by (n_vars, padded shape) so each bucket compiles one
+    device program and solves as a batch, then returns per-LP results in
+    the ORIGINAL order as ``(x, z, status, success)`` tuples (x in the
+    instance's own variable order; None when not optimal).  This is the
+    production entry for "solve this pile of unrelated LPs fast"
+    (SURVEY.md §7: "bucketed compilation for the batch path").
+    """
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    solver = BatchedSimplexSolver(config)
+    for idx, lp in enumerate(lps):
+        sf = compile_standard_form(lp)
+        buckets[(lp.n_vars, sf.m_pad, sf.n_pad)].append(idx)
+
+    results = [None] * len(lps)
+    for key, indices in buckets.items():
+        res = solver.solve_many([lps[i] for i in indices])
+        for k, i in enumerate(indices):
+            ok = bool(res.success[k])
+            results[i] = (
+                res.x[k] if ok else None,
+                float(res.z[k]) if ok else None,
+                int(res.status[k]),
+                ok,
+            )
+    return results
+
+
 def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
                         maximize=True):
     """Pipelined sweep over an iterable of ``(c, A, b, ops)`` array batches.

@@ -166,3 +166,28 @@ def test_stream_pipeline_matches_single_batches():
     for s1, s2 in zip(singles, streamed):
         np.testing.assert_array_equal(s1.status, s2.status)
         np.testing.assert_allclose(s1.z, s2.z, rtol=1e-6)
+
+
+def test_heterogeneous_sweep_buckets_and_matches():
+    """solve_lp_sweep: mixed-shape LPs bucketed by compiled shape, results
+    in original order matching single solves."""
+    from simplex_tpu import LinearProgram, solve_lp
+    from simplex_tpu.models.batched import solve_lp_sweep
+
+    rng = np.random.default_rng(77)
+    lps = []
+    for _ in range(12):
+        m = int(rng.integers(1, 6))
+        n = int(rng.integers(1, 6))
+        lps.append(LinearProgram(
+            c=rng.uniform(0.1, 2.0, size=n).round(2),
+            A=rng.uniform(0.05, 1.0, size=(m, n)).round(2),
+            b=rng.uniform(1.0, 5.0, size=m).round(2),
+            ops=np.full(m, -1), maximize=True))
+    out = solve_lp_sweep(lps)
+    assert len(out) == 12
+    for lp, (x, z, status, ok) in zip(lps, out):
+        single = solve_lp(lp)
+        assert status == single.status
+        if ok:
+            assert abs(z - single.z) <= 1e-5 * (1 + abs(single.z))
