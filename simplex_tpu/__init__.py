@@ -18,7 +18,8 @@ from .core.parsing import (
 )
 from .core.problem import LinearProgram, compile_standard_form
 from .models.batched import (BatchedSimplexSolver, BatchResult,
-                             solve_arrays_stream, solve_lp_batch)
+                             solve_arrays_stream, solve_lp_batch,
+                             solve_lp_sweep)
 from .models.dense import (DenseSimplexSolver, SimplexResult,
                            reoptimize, solve_lp)
 from .models.pdhg import PdhgSolver
@@ -42,4 +43,5 @@ __all__ = [
     "solve_arrays_stream",
     "solve_lp",
     "solve_lp_batch",
+    "solve_lp_sweep",
 ]
