@@ -110,8 +110,10 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         optimal = ~jnp.any(eligible, axis=-1)
 
         # ---- ratio test (local + pmin collectives) --------------------- #
-        col_loc = jnp.take_along_axis(T_loc, s[:, None, None],
-                                      axis=2)[:, :, 0]      # (B, m_loc)
+        # Column extraction as a one-hot MXU contraction (lane-axis
+        # take_along_axis is a slow multi-pass gather on TPU).
+        s_hot = jax.nn.one_hot(s, T_loc.shape[2], dtype=dt)  # (B, N+1)
+        col_loc = jnp.einsum("bmn,bn->bm", T_loc, s_hot)     # (B, m_loc)
         rhs_loc = T_loc[:, :, -1]
         is_art_row = jnp.take_along_axis(art_ext, basis_loc, axis=1)
         positive = (col_loc > tol) & row_valid_loc
@@ -152,10 +154,9 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         r_loc = jnp.argmax(owner_rows, axis=1)               # (B,)
 
         # ---- pivot-row broadcast (psum of masked contribution) --------- #
-        piv_row_own = jnp.take_along_axis(T_loc, r_loc[:, None, None],
-                                          axis=1)[:, 0, :]   # (B, N+1)
-        pivot_own = jnp.take_along_axis(piv_row_own, s[:, None],
-                                        axis=1)[:, 0]
+        r_hot = jax.nn.one_hot(r_loc, T_loc.shape[1], dtype=dt)  # (B, m_loc)
+        piv_row_own = jnp.einsum("bm,bmn->bn", r_hot, T_loc)     # (B, N+1)
+        pivot_own = jnp.einsum("bn,bn->b", piv_row_own, s_hot)
         safe = jnp.where(has_owner & (jnp.abs(pivot_own) > 0), pivot_own, 1.0)
         contrib = jnp.where(has_owner[:, None], piv_row_own / safe[:, None],
                             0.0)
@@ -186,19 +187,29 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
                               s[:, None].astype(basis_loc.dtype), basis_loc)
 
         # Objective-row update (replicated, consistent across devices).
-        obj_s = jnp.take_along_axis(obj, s[:, None], axis=1)[:, 0]
+        obj_s = jnp.einsum("bn,bn->b", obj, s_hot)
         obj_new = obj - obj_s[:, None] * piv_row
         obj = jnp.where(active[:, None], obj_new, obj)
 
         # ---- phase flip: install + price out the phase-2 objective ----- #
         # costs_B = obj_row_p2[basis] summed against local rows, psum'ed.
-        basis_costs = jnp.take_along_axis(obj_row_p2, basis_loc, axis=1)
-        local_dot = jnp.einsum("bm,bmn->bn",
-                               jnp.where(row_valid_loc, basis_costs, 0.0),
-                               T_loc)
-        priced = obj_row_p2 - lax.psum(local_dot, axis)
-        obj = jnp.where(to_p2[:, None], priced, obj)
-        phase = jnp.where(to_p2, jnp.int32(2), phase)
+        # Gated: the O(B·m_loc·N) contraction + psum only run on iterations
+        # where some instance actually flips.  ``to_p2`` derives from
+        # replicated state and pmin-reduced values, so every device takes
+        # the same branch — the collective inside the cond is safe.
+        def flip(args):
+            obj, phase = args
+            basis_costs = jnp.take_along_axis(obj_row_p2, basis_loc, axis=1)
+            local_dot = jnp.einsum("bm,bmn->bn",
+                                   jnp.where(row_valid_loc, basis_costs, 0.0),
+                                   T_loc)
+            priced = obj_row_p2 - lax.psum(local_dot, axis)
+            obj = jnp.where(to_p2[:, None], priced, obj)
+            phase = jnp.where(to_p2, jnp.int32(2), phase)
+            return obj, phase
+
+        obj, phase = lax.cond(jnp.any(to_p2), flip, lambda a: a,
+                              (obj, phase))
 
         return (T_loc, basis_loc, obj, phase, status, iters + 1)
 
