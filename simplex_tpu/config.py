@@ -82,6 +82,11 @@ class SolverConfig:
     # small fraction of the O(m^2·n)-per-period pivot work at any size.
     refactor_every: Optional[int] = None
 
+    # Batched per-iteration step implementation: "auto" (Pallas fused kernel
+    # on TPU, plain XLA elsewhere), "pallas", "xla", or "pallas_interpret"
+    # (interpreter mode, for CPU tests of the kernel).
+    batched_backend: str = "auto"
+
     @staticmethod
     def from_env() -> "SolverConfig":
         return SolverConfig(

@@ -192,10 +192,14 @@ def compile_standard_form(lp: LinearProgram,
     n_art = int(np.sum(ops != OP_LE))            # artificial for >= and = rows
     n_cols = n + n_slack + n_art
 
-    m_pad = max(_round_up(m, row_pad), row_pad)
+    # TPU f32 tiling is (8, 128) over the last two dims, so the TOTAL tableau
+    # (m_pad + 1 rows incl. objective, n_pad + 1 cols incl. RHS) is what gets
+    # aligned — a (9, 9) logical tableau would physically occupy (16, 128)
+    # tiles and stream the padding on every pass.
+    m_pad = max(_round_up(m + 1, row_pad), row_pad) - 1
     # Padding rows each get their own (masked) unit column so the basis matrix
     # B = T0[:, basis] stays invertible for on-device refactorization.
-    n_pad = max(_round_up(n_cols + (m_pad - m), col_pad), col_pad)
+    n_pad = max(_round_up(n_cols + (m_pad - m) + 1, col_pad), col_pad) - 1
 
     T = np.zeros((m_pad + 1, n_pad + 1), dtype=np.float64)
     basis = np.zeros((m_pad,), dtype=np.int32)

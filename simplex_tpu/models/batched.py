@@ -71,7 +71,8 @@ class CompiledBatch:
 def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
                           ops: np.ndarray, maximize,
                           row_pad: int = 8, col_pad: int = 128,
-                          dtype=np.float32) -> CompiledBatch:
+                          dtype=np.float32,
+                          align_total: bool = True) -> CompiledBatch:
     """Vectorized standard-form compilation for a uniform-shape batch.
 
     All instances share the constraint-operator vector ``ops`` (shape (m,)),
@@ -105,8 +106,20 @@ def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
     # slot.  Unused artificial slots (<= rows) are masked out per instance.
     # This keeps the layout uniform: slack i at n+i, artificial i at n+m+i.
     n_cols = n + m + m
-    m_pad = max(_round_up(m, row_pad), row_pad)
-    n_pad = max(_round_up(n_cols + (m_pad - m), 8), col_pad)
+    # TPU f32 tiling is (8, 128) over the LAST TWO dims, so it is the TOTAL
+    # tableau (m_pad + 1 rows, n_pad + 1 cols incl. the objective row and
+    # RHS column) that must be tile-aligned — otherwise every pass over the
+    # (B, 33, 129)-style array physically streams (40, 256) tiles, ~2.4x the
+    # logical bytes.  Align totals: rows to 8, columns to 128.
+    # ``align_total=False`` keeps m_pad itself a multiple of ``row_pad``
+    # instead — required by the row-sharded path, which splits the constraint
+    # rows (without the objective row) evenly across mesh devices.
+    if align_total:
+        m_pad = max(_round_up(m + 1, row_pad), row_pad) - 1
+        n_pad = max(_round_up(n_cols + (m_pad - m) + 1, col_pad), col_pad) - 1
+    else:
+        m_pad = max(_round_up(m, row_pad), row_pad)
+        n_pad = max(_round_up(n_cols + (m_pad - m), 8), col_pad)
 
     T = np.zeros((B, m_pad + 1, n_pad + 1), dtype=np.float64)
     T[:, :m, :n] = A
@@ -191,6 +204,7 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         max_iters=int(max_iters),
         bland_after=int(bland_after),
         refactor_every=int(config.refactor_every or max(64, m_pad // 8)),
+        backend=config.batched_backend,
     )
     x, z_min = batched_ops.extract_solution_batch(T, basis, cb.n_vars)
     x = np.maximum(np.asarray(x, np.float64), 0.0)
@@ -372,6 +386,7 @@ def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
         out = batched_ops.solve_tableau_batch(
             *dev_args, tol=max(config.tol, 1e-6), max_iters=int(max_iters),
             bland_after=int(bland_after), refactor_every=refactor_every,
+            backend=config.batched_backend,
         )
         # Stage the NEXT batch while the current solve runs on device.
         try:

@@ -133,6 +133,44 @@ def _evict_artificials_b(T, basis, art_mask_ext, col_mask_p2, tol):
     return lax.fori_loop(0, m_rows, body, (T, basis))
 
 
+def _refine_solution_b(T, basis, basis0, T0_rows, raw_obj):
+    """Iterative refinement of the reported solution (RHS column + objective).
+
+    The full exact refactor (`_refactor_b`) runs a batched tiny-LU
+    ``linalg.solve`` that costs ~175 ms at B=16k×31×31 on v5e — more than the
+    whole pivot loop — yet only the RHS column and objective cell of its
+    output feed :func:`extract_solution_batch`.  Instead, polish x_B with one
+    Newton step using the approximate inverse ALREADY EMBEDDED in the
+    incremental tableau: the initial basis ``basis0`` indexes the identity
+    columns of T0 (slack for <=, artificial for >=/=, unit pads), so
+    ``M = T_rows[:, :, basis0] ≈ B^{-1}`` up to the same drift as the
+    tableau.  One step squares the drift (e ~ 1e-4 → 1e-8) for three small
+    batched MXU contractions; the update is kept only where it reduces the
+    residual, so a badly-drifted instance can never be made worse.
+    """
+    T_rows = T[:, :-1, :]
+    nc = T0_rows.shape[2]
+    hot_b = jax.nn.one_hot(basis, nc, dtype=T.dtype)
+    Bmat = jnp.einsum("bkn,bin->bki", T0_rows, hot_b)   # (B, mp, mp)
+    hot0 = jax.nn.one_hot(basis0, nc, dtype=T.dtype)
+    Minv = jnp.einsum("bkn,bin->bki", T_rows, hot0)     # ~ B^{-1}
+
+    b0 = T0_rows[:, :, -1]
+    xB = T[:, :-1, -1]
+    r0 = b0 - jnp.einsum("bij,bj->bi", Bmat, xB)
+    xB1 = xB + jnp.einsum("bij,bj->bi", Minv, r0)
+    r1 = b0 - jnp.einsum("bij,bj->bi", Bmat, xB1)
+    better = (jnp.sum(r1 * r1, axis=-1) < jnp.sum(r0 * r0, axis=-1)) \
+        & jnp.all(jnp.isfinite(xB1), axis=-1)
+    xB_out = jnp.where(better[:, None], xB1, xB)
+
+    cB = jnp.take_along_axis(raw_obj, basis, axis=1)    # (B, mp)
+    z_min = jnp.sum(cB * xB_out, axis=-1)               # c_B' x_B
+    T = T.at[:, :-1, -1].set(xB_out)
+    T = T.at[:, -1, -1].set(-z_min)
+    return T
+
+
 def _refactor_b(T, basis, T0_rows, raw_obj, active):
     """Batched exact recomputation of tableaus from (T0, basis).
 
@@ -156,13 +194,13 @@ def _refactor_b(T, basis, T0_rows, raw_obj, active):
 @functools.partial(
     jax.jit,
     static_argnames=("tol", "max_iters", "bland_after", "feas_tol",
-                     "refactor_every"),
+                     "refactor_every", "backend"),
 )
 def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
                         obj_row_p1, obj_row_p2, need_p1,
                         tol: float = 1e-6, max_iters: int = 4096,
                         bland_after: int = 1024, feas_tol: float = 1e-5,
-                        refactor_every: int = 64):
+                        refactor_every: int = 64, backend: str = "auto"):
     """Solve a batch of LPs sharing one padded tableau shape.
 
     Args:
@@ -179,7 +217,20 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
     Returns ``(T, basis, status, iters, pivots)``; ``status`` is
     per-instance with scipy-compatible codes, ``iters`` the shared loop
     trip count, ``pivots`` the per-instance pivot counts.
+
+    ``backend`` selects the per-iteration step implementation:
+    ``"pallas"`` fuses pricing + ratio test + pivot update into one Pallas
+    kernel (one HBM read + write of the tableau tensor per iteration);
+    ``"xla"`` keeps the unfused einsum/one-hot formulation; ``"auto"``
+    picks pallas on TPU, xla elsewhere; ``"pallas_interpret"`` runs the
+    kernel in interpreter mode (CPU tests).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_pallas = backend in ("pallas", "pallas_interpret")
+    if use_pallas:
+        from . import pallas_batched
+
     Bsz = T0.shape[0]
     b_scale = 1.0 + jnp.max(jnp.abs(T0[:, :-1, -1]), axis=1)
     T0_rows = T0[:, :-1, :]
@@ -188,6 +239,13 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
     )
 
     phase0 = jnp.where(need_p1, jnp.int32(1), jnp.int32(2))
+
+    if use_pallas:
+        # Float column masks with an explicit zero RHS lane, shaped like the
+        # tableau's column axis — loop-invariant kernel inputs.
+        zero_lane = jnp.zeros((Bsz, 1), T0.dtype)
+        cm1f = jnp.concatenate([col_mask_p1.astype(T0.dtype), zero_lane], 1)
+        cm2f = jnp.concatenate([col_mask_p2.astype(T0.dtype), zero_lane], 1)
 
     def cond(state):
         _T, _basis, _phase, status, iters, _since, _piv = state
@@ -210,8 +268,20 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
             T,
         )
 
-        s, r, optimal, unbounded = _select_pivot_b(T, basis, col_mask, tol,
-                                                   use_bland)
+        if use_pallas:
+            # Fused select+pivot: instances that come back optimal/unbounded
+            # (or are not RUNNING) pass through the kernel untouched, so the
+            # phase-flip logic below still sees their pre-pivot tableaus.
+            T, basis, s, r, optimal, unbounded, did_pivot = (
+                pallas_batched.fused_pivot_step(
+                    T, basis, cm1f, cm2f, phase, status,
+                    use_bland.astype(jnp.int32), tol=tol,
+                    interpret=(backend == "pallas_interpret"),
+                )
+            )
+        else:
+            s, r, optimal, unbounded = _select_pivot_b(T, basis, col_mask,
+                                                       tol, use_bland)
         want_stop = (optimal | unbounded) & live
 
         # --- Phase-1 completion --------------------------------------- #
@@ -248,9 +318,16 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
         )
 
         # --- Pivot all still-running, non-flipping instances ------------ #
-        active = (status == RUNNING) & ~to_p2 & live & ~optimal & ~unbounded
-        T, basis = _pivot_update_b(T, basis, r, s, active)
-        pivots = pivots + active.astype(pivots.dtype)
+        if use_pallas:
+            # The fused kernel already applied the update to exactly this
+            # set (live & ~optimal & ~unbounded == active: to_p2 and the
+            # newly-terminal instances are all inside optimal|unbounded).
+            pivots = pivots + did_pivot.astype(pivots.dtype)
+        else:
+            active = ((status == RUNNING) & ~to_p2 & live
+                      & ~optimal & ~unbounded)
+            T, basis = _pivot_update_b(T, basis, r, s, active)
+            pivots = pivots + active.astype(pivots.dtype)
 
         since_ref = jnp.where(do_refactor, jnp.int32(1), since_ref + 1)
         return (T, basis, phase, status, iters + 1, since_ref, pivots)
@@ -264,10 +341,12 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
     T, basis, phase, status, iters, _, pivots = lax.while_loop(
         cond, body, state0)
 
-    # Final refactorization so reported objectives/solutions are drift-free.
+    # Final solution polish so reported objectives/solutions are drift-free.
+    # (Newton refinement of x_B — NOT the O(m^3) batched-LU refactor, which
+    # costs more than the whole pivot loop at large B; see
+    # ``_refine_solution_b``.)
     raw_obj = jnp.where((phase == 1)[:, None], obj_row_p1, obj_row_p2)
-    T = _refactor_b(T, basis, T0_rows, raw_obj,
-                    jnp.ones((Bsz,), bool))
+    T = _refine_solution_b(T, basis, basis0, T0_rows, raw_obj)
     status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
     return T, basis, status, iters, pivots
 

@@ -1,0 +1,198 @@
+"""Pallas fused batched pivot step: pricing + ratio test + rank-1 update.
+
+The batched while-loop body in ``ops/batched.py`` is, in its pure-XLA form,
+~20 small HLO ops per iteration (masked argmins, one-hot einsum gathers, the
+rank-1 update, mask merges).  At the flagship shape (B=1024 instances of
+30x50) each op is far too small to hide its fixed launch/HBM-turnaround
+cost, so an iteration costs ~2 ms against a ~30 us bandwidth bound — the
+loop is op-count-bound, not bandwidth-bound (docs/performance.md).
+
+This kernel fuses the ENTIRE per-iteration step for a block of instances
+into one ``pallas_call``: the tableau block is read from HBM into VMEM
+once, pivot selection (Dantzig/Bland pricing, masked ratio test with
+basis-index tie-breaking) and the masked rank-1 pivot update all run on the
+VPU against VMEM-resident data, and the updated block is written back once.
+Per iteration the HBM traffic is exactly one read + one write of the
+tableau tensor — the same bytes the rank-1 update alone needs.
+
+Semantics mirror ``ops.batched._select_pivot_b`` + ``_pivot_update_b``
+(reference behavior: the tableau pivot loop of ``simple_simplex`` at
+``/root/reference/app/controllers/solver_controller.py:290-319``, batched):
+instances that are optimal/unbounded/not-running pass through untouched and
+are reported via the flag outputs; phase flips and refactorization stay in
+the XLA driver loop (they are rare and need batched ``linalg.solve``).
+
+Reductions use the min-with-iota trick (two plain min-reductions) instead
+of ``argmin`` so everything lowers to Mosaic-supported reduce ops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RUNNING = -1
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _first_where(mask, idx, axis=-1):
+    """Lowest index where ``mask`` holds (INT_MAX if none) — min-reduction."""
+    return jnp.min(jnp.where(mask, idx, _INT_MAX), axis=axis)
+
+
+def _make_kernel(tol: float):
+    # Mosaic cannot reshape i1 (bool) vectors, so every boolean mask below is
+    # BORN at its final rank: reductions keep dims, rank-3 masks come from
+    # rank-3 iota comparisons, and rank promotions route through int32.
+    def kernel(bland_ref, T_ref, basis_ref, cm1_ref, cm2_ref, phase_ref,
+               status_ref, Tout_ref, basis_out_ref, s_ref, r_ref, opt_ref,
+               unb_ref, did_ref):
+        T = T_ref[...]                              # (bB, M, N)
+        basis = basis_ref[...]                      # (bB, M-1)
+        bB, M, N = T.shape
+        dtype = T.dtype
+        eps = jnp.finfo(dtype).eps
+
+        in_p1 = phase_ref[...] == 1                 # (bB, 1)
+        live = status_ref[...] == RUNNING           # (bB, 1)
+        use_bland = bland_ref[0] > 0
+
+        # ---- Pricing: entering column s ------------------------------- #
+        cm = jnp.where(in_p1, cm1_ref[...], cm2_ref[...])        # (bB, N)
+        obj = T[:, M - 1, :]
+        rc = jnp.where(cm > 0.5, obj, jnp.inf)
+        eligible = rc < -tol
+        idx_n = lax.broadcasted_iota(jnp.int32, (bB, N), 1)
+        rc_min = jnp.min(rc, axis=-1, keepdims=True)
+        s_dantzig = _first_where(rc == rc_min, idx_n)            # (bB,) i32
+        s_bland = _first_where(eligible, idx_n)
+        s = jnp.where(use_bland, s_bland, s_dantzig)
+        s = jnp.clip(s, 0, N - 1)
+        optimal = ~jnp.any(eligible, axis=-1, keepdims=True)     # (bB, 1)
+
+        # ---- Ratio test: leaving row r -------------------------------- #
+        hot_s = (idx_n == s[:, None]).astype(dtype)              # (bB, N)
+        col = jnp.sum(T * hot_s[:, None, :], axis=-1)            # (bB, M)
+        colc = col[:, : M - 1]
+        rhs = T[:, : M - 1, N - 1]
+        positive = colc > tol
+        ratios = jnp.where(positive, rhs / jnp.where(positive, colc, 1.0),
+                           jnp.inf)
+        min_ratio = jnp.min(ratios, axis=-1, keepdims=True)      # (bB, 1)
+        unbounded = (~optimal) & jnp.isinf(min_ratio)            # (bB, 1)
+        near = ratios <= min_ratio + 64.0 * eps * (1.0 + jnp.abs(min_ratio))
+        tie_key = jnp.where(near & positive, basis, _INT_MAX)
+        tk_min = jnp.min(tie_key, axis=-1, keepdims=True)
+        idx_m = lax.broadcasted_iota(jnp.int32, (bB, M - 1), 1)
+        r = _first_where(tie_key == tk_min, idx_m)               # (bB,) i32
+        r = jnp.clip(r, 0, M - 2)
+
+        # ---- Masked rank-1 pivot update ------------------------------- #
+        active = live & ~optimal & ~unbounded                    # (bB, 1)
+        hot_r = idx_m == r[:, None]                              # (bB, M-1)
+        pivot = jnp.sum(jnp.where(hot_r, colc, 0.0), axis=-1,
+                        keepdims=True)                           # (bB, 1)
+        safe = jnp.where(active & (jnp.abs(pivot) > 0), pivot, 1.0)
+        idx_m3 = lax.broadcasted_iota(jnp.int32, (bB, M, 1), 1)
+        is_r3 = idx_m3 == r[:, None, None]                       # (bB, M, 1)
+        idx_n3 = lax.broadcasted_iota(jnp.int32, (bB, 1, N), 2)
+        is_s3 = idx_n3 == s[:, None, None]                       # (bB, 1, N)
+        prow = jnp.sum(T * is_r3.astype(dtype), axis=1)          # (bB, N)
+        prow_n = prow / safe                                     # (bB, N)
+
+        T_new = T - col[:, :, None] * prow_n[:, None, :]
+        T_new = jnp.where(is_r3, prow_n[:, None, :], T_new)
+        T_new = jnp.where(is_s3, is_r3.astype(dtype), T_new)     # unit col
+
+        act3 = active.astype(jnp.int32)[:, :, None] > 0          # (bB, 1, 1)
+        Tout_ref[...] = jnp.where(act3, T_new, T)
+        basis_out_ref[...] = jnp.where(
+            active & hot_r, s[:, None].astype(basis.dtype), basis
+        )
+        s_ref[...] = s[:, None]
+        r_ref[...] = r[:, None]
+        opt_ref[...] = optimal.astype(jnp.int32)
+        unb_ref[...] = unbounded.astype(jnp.int32)
+        did_ref[...] = active.astype(jnp.int32)
+
+    return kernel
+
+
+def _pick_block_b(B: int, M: int, N: int, vmem_budget: int = 6 << 20) -> int:
+    """Largest power-of-two instance block whose in+out tableaus fit VMEM."""
+    per_instance = 2 * M * N * 4
+    blk = 1
+    while blk * 2 <= B and B % (blk * 2) == 0 and \
+            (blk * 2) * per_instance <= vmem_budget and blk * 2 <= 256:
+        blk *= 2
+    return blk
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "interpret", "block_b"))
+def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
+                     tol: float = 1e-6, interpret: bool = False,
+                     block_b: int = 0):
+    """One fused select+pivot step for every instance in the batch.
+
+    Args:
+      T:         (B, M, N) tableaus (objective row last, RHS column last).
+      basis:     (B, M-1) int32.
+      cm1, cm2:  (B, N) float phase-1/phase-2 eligible-column masks
+                 (1.0 eligible, 0.0 masked; the RHS lane must be 0).
+      phase:     (B,) int32 — 1 or 2.
+      status:    (B,) int32 — RUNNING (-1) keeps an instance live.
+      use_bland: scalar int32 — nonzero switches pricing to Bland's rule.
+
+    Returns ``(T_new, basis_new, s, r, optimal, unbounded, did_pivot)``;
+    the flag vectors have shape (B,).
+    """
+    B, M, N = T.shape
+    assert basis.shape == (B, M - 1), (basis.shape, T.shape)
+    bb = block_b or _pick_block_b(B, M, N)
+    grid = (B // bb,)
+
+    def bspec(*dims):
+        return pl.BlockSpec((bb,) + dims, lambda i, b_: (i,) + (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            bspec(M, N),          # T
+            bspec(M - 1),         # basis
+            bspec(N),             # cm1
+            bspec(N),             # cm2
+            bspec(1),             # phase
+            bspec(1),             # status
+        ],
+        out_specs=[
+            bspec(M, N),          # T_out
+            bspec(M - 1),         # basis_out
+            bspec(1), bspec(1), bspec(1), bspec(1), bspec(1),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((B, M, N), T.dtype),
+        jax.ShapeDtypeStruct((B, M - 1), basis.dtype),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    ]
+    bland_arr = jnp.asarray(use_bland, jnp.int32).reshape(1)
+    T2, basis2, s, r, opt, unb, did = pl.pallas_call(
+        _make_kernel(tol),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(bland_arr, T, basis,
+      jnp.asarray(cm1, T.dtype), jnp.asarray(cm2, T.dtype),
+      phase.reshape(B, 1), status.reshape(B, 1))
+    return (T2, basis2, s[:, 0], r[:, 0], opt[:, 0] > 0, unb[:, 0] > 0,
+            did[:, 0] > 0)

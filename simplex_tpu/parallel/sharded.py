@@ -311,7 +311,8 @@ def solve_arrays_sharded(c, A, b, ops, maximize=True, mesh: Mesh = None,
         c = np.concatenate([c, np.zeros((B_pad - B, n))])
 
     cb = compile_batch_uniform(
-        c, A, b, ops, maximize, row_pad=n_row, dtype=np.dtype(dtype)
+        c, A, b, ops, maximize, row_pad=n_row, dtype=np.dtype(dtype),
+        align_total=False,
     )
     m_pad = cb.basis.shape[1]
     assert m_pad % n_row == 0

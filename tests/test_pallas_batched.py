@@ -1,0 +1,80 @@
+"""The fused Pallas batched pivot step must match the XLA formulation.
+
+Runs the kernel in interpreter mode (CPU CI has no TPU); on TPU hardware the
+compiled kernel is exercised by the same entry points via backend="pallas".
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simplex_tpu.models.batched import BatchedSimplexSolver, compile_batch_uniform
+from simplex_tpu.config import SolverConfig
+from simplex_tpu.ops import batched as bops
+
+
+def _random_batch(seed, B=12, m=9, n=13, ops=None):
+    rng = np.random.default_rng(seed)
+    A = rng.uniform(0.1, 2.0, (B, m, n))
+    c = rng.uniform(0.5, 3.0, (B, n))
+    b = rng.uniform(5.0, 25.0, (B, m))
+    if ops is None:
+        ops = np.full(m, -1)
+    return c, A, b, np.asarray(ops)
+
+
+def _solve_both(c, A, b, ops, **kw):
+    cb = compile_batch_uniform(c, A, b, ops, maximize=True)
+    args = [jnp.asarray(x) for x in
+            (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
+             cb.obj_row_p1, cb.obj_row_p2, cb.need_p1)]
+    out_x = bops.solve_tableau_batch(*args, backend="xla", **kw)
+    out_p = bops.solve_tableau_batch(*args, backend="pallas_interpret", **kw)
+    return out_x, out_p
+
+
+def _assert_match(out_x, out_p):
+    names = ["T", "basis", "status", "iters", "pivots"]
+    for name, a, b in zip(names, out_x, out_p):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, atol=1e-4, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_fused_step_matches_xla_le_only():
+    out_x, out_p = _solve_both(*_random_batch(0))
+    _assert_match(out_x, out_p)
+    assert (np.asarray(out_p[2]) == 0).all()  # all-<= with b>0: all optimal
+
+
+def test_fused_step_matches_xla_mixed_ops():
+    # >= and = rows force phase 1 (and its flip path) through the kernel.
+    ops = np.array([-1, -1, -1, -1, 1, 1, 0, 0, -1])
+    out_x, out_p = _solve_both(*_random_batch(1, ops=ops))
+    _assert_match(out_x, out_p)
+
+
+def test_fused_step_matches_xla_with_bland():
+    # Force Bland pricing from the start to cover that kernel branch.
+    out_x, out_p = _solve_both(*_random_batch(2), bland_after=0)
+    _assert_match(out_x, out_p)
+
+
+def test_solver_config_backend_plumbs_through():
+    c, A, b, ops = _random_batch(3, B=6)
+    res = BatchedSimplexSolver(
+        SolverConfig(batched_backend="pallas_interpret")
+    ).solve_arrays(c, A, b, ops, maximize=True)
+    ref = BatchedSimplexSolver(
+        SolverConfig(batched_backend="xla")
+    ).solve_arrays(c, A, b, ops, maximize=True)
+    assert (res.status == ref.status).all()
+    np.testing.assert_allclose(res.z[res.success], ref.z[ref.success],
+                               rtol=1e-4)
+
+
+@pytest.mark.parametrize("B,m,n", [(4, 3, 2), (16, 30, 50)])
+def test_fused_step_shapes(B, m, n):
+    out_x, out_p = _solve_both(*_random_batch(4, B=B, m=m, n=n))
+    _assert_match(out_x, out_p)

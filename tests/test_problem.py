@@ -74,10 +74,12 @@ def test_standard_form_negative_rhs_flips_operator():
     assert sf.tableau[0, sf.n_pad] == 6.0
 
 
-def test_padding_is_pow2_safe():
+def test_padding_is_tile_aligned():
     lp = LinearProgram.from_problem_dict(PROBLEM)
     sf = compile_standard_form(lp, row_pad=8, col_pad=128)
-    assert sf.tableau.shape == (9, 129)
+    # The TOTAL tableau (incl. objective row and RHS column) lands on the
+    # TPU f32 (8, 128) tile grid — no physical padding streamed per pass.
+    assert sf.tableau.shape == (8, 128)
     assert not sf.col_mask_p1[sf.n_cols:].any()
 
 
