@@ -49,10 +49,14 @@ class SolverConfig:
     scipy options (``solver_controller.py:76``).
     """
 
-    # Pivot rule: "dantzig" (most-negative reduced cost) with an automatic
-    # Bland fallback after `bland_after` stalled iterations to break cycles.
-    pivot_rule: str = "dantzig"
-    bland_after: int = 2048
+    # Pivot rule: "devex" (Forrest-Goldfarb approximate steepest edge;
+    # ~4x fewer pivots than "dantzig" on large dense LPs) or "dantzig".
+    # Both get an automatic Bland's-rule fallback after `bland_after`
+    # consecutive NON-IMPROVING pivots (stall-gated: pricing reverts as soon
+    # as the objective moves again — cycles never improve, so the
+    # anti-cycling guarantee is intact).
+    pivot_rule: str = "devex"
+    bland_after: int = 256
 
     # Presolve reductions before the device solve (core/presolve.py) —
     # the reference's scipy ``presolve: True`` role.

@@ -77,11 +77,11 @@ def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
     """
 
     def cond(state):
-        _B, _x, _bas, iters, status, _since, _w = state
+        _B, _x, _bas, iters, status, _since, _w, _bo, _ni = state
         return (status == RUNNING) & (iters < max_iters)
 
     def body(state):
-        B_inv, x_B, basis, iters, status, since, w = state
+        B_inv, x_B, basis, iters, status, since, w, best_obj, no_imp = state
 
         do_ref = since >= refactor_every
         B_inv, x_B = lax.cond(
@@ -94,7 +94,10 @@ def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
         rc = cost[:-1] - pi @ A_std                        # (n,)
         rc = jnp.where(col_mask, rc, jnp.inf)
         eligible = rc < -tol
-        use_bland = iters >= bland_after
+        # Stall-gated Bland: engage only after ``bland_after`` consecutive
+        # non-improving pivots, revert when the objective moves (cycles are
+        # improvement-free, so termination is preserved; cf. ops/tableau.py).
+        use_bland = no_imp >= bland_after
         if devex:
             score = jnp.where(eligible, (rc * rc) / w, -jnp.inf)
             s_price = jnp.argmax(score)
@@ -150,13 +153,21 @@ def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
 
         B_inv, x_B, basis, w = lax.cond(
             stop, lambda a: a, do_pivot, (B_inv, x_B, basis, w))
+        obj = cost[basis] @ x_B
+        improved = obj < best_obj - tol * (1.0 + jnp.abs(best_obj))
+        best_obj = jnp.minimum(best_obj, obj)
+        no_imp = jnp.where(improved, 0,
+                           no_imp + (~stop).astype(no_imp.dtype))
         iters = iters + (~stop).astype(iters.dtype)
         since = jnp.where(do_ref, jnp.int32(1), since + 1)
-        return B_inv, x_B, basis, iters, new_status, since, w
+        return (B_inv, x_B, basis, iters, new_status, since, w, best_obj,
+                no_imp)
 
     w0 = jnp.ones((A_std.shape[1],), A_std.dtype)
-    state = (B_inv, x_B, basis, iters0, jnp.int32(RUNNING), jnp.int32(1), w0)
-    B_inv, x_B, basis, iters, status, _, _ = lax.while_loop(cond, body, state)
+    state = (B_inv, x_B, basis, iters0, jnp.int32(RUNNING), jnp.int32(1), w0,
+             jnp.asarray(jnp.inf, x_B.dtype), jnp.int32(0))
+    B_inv, x_B, basis, iters, status, _, _, _, _ = lax.while_loop(
+        cond, body, state)
     status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
     obj = cost[basis] @ x_B
     return B_inv, x_B, basis, iters, status, obj

@@ -248,16 +248,20 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
         cm2f = jnp.concatenate([col_mask_p2.astype(T0.dtype), zero_lane], 1)
 
     def cond(state):
-        _T, _basis, _phase, status, iters, _since, _piv = state
+        _T, _basis, _phase, status, iters, _since, _piv, _bo, _ni = state
         return jnp.any(status == RUNNING) & (iters < max_iters)
 
     def body(state):
-        T, basis, phase, status, iters, since_ref, pivots = state
+        T, basis, phase, status, iters, since_ref, pivots, best_obj, \
+            no_imp = state
         live = status == RUNNING
         in_p1 = phase == 1
         col_mask = jnp.where(in_p1[:, None], col_mask_p1, col_mask_p2)
         raw_obj = jnp.where(in_p1[:, None], obj_row_p1, obj_row_p2)
-        use_bland = iters >= bland_after
+        # Stall-gated Bland, per instance: engage after ``bland_after``
+        # consecutive non-improving pivots, revert on progress (cycles never
+        # improve, so anti-cycling is preserved; see ops/tableau.py).
+        use_bland = no_imp >= bland_after
 
         # Periodic batched refactorization (drift control, all instances).
         do_refactor = since_ref >= refactor_every
@@ -322,23 +326,37 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
             # The fused kernel already applied the update to exactly this
             # set (live & ~optimal & ~unbounded == active: to_p2 and the
             # newly-terminal instances are all inside optimal|unbounded).
-            pivots = pivots + did_pivot.astype(pivots.dtype)
+            active = did_pivot
         else:
             active = ((status == RUNNING) & ~to_p2 & live
                       & ~optimal & ~unbounded)
             T, basis = _pivot_update_b(T, basis, r, s, active)
-            pivots = pivots + active.astype(pivots.dtype)
+        pivots = pivots + active.astype(pivots.dtype)
+
+        # Objective-progress tracking for the stall-gated Bland switch
+        # (min-form objective -T[-1,-1] is non-increasing along pivots).
+        obj_b = -T[:, -1, -1]
+        improved = obj_b < best_obj - tol * (1.0 + jnp.abs(best_obj))
+        best_obj = jnp.minimum(best_obj, obj_b)
+        no_imp = jnp.where(improved, 0, no_imp + active.astype(no_imp.dtype))
+        # A phase flip installs a fresh objective: reset progress state.
+        inf_ = jnp.asarray(jnp.inf, best_obj.dtype)
+        best_obj = jnp.where(to_p2, inf_, best_obj)
+        no_imp = jnp.where(to_p2, 0, no_imp)
 
         since_ref = jnp.where(do_refactor, jnp.int32(1), since_ref + 1)
-        return (T, basis, phase, status, iters + 1, since_ref, pivots)
+        return (T, basis, phase, status, iters + 1, since_ref, pivots,
+                best_obj, no_imp)
 
     state0 = (
         T0, basis0, phase0,
         jnp.full((Bsz,), RUNNING, jnp.int32),
         jnp.int32(0), jnp.int32(1),
         jnp.zeros((Bsz,), jnp.int32),
+        jnp.full((Bsz,), jnp.inf, T0.dtype),
+        jnp.zeros((Bsz,), jnp.int32),
     )
-    T, basis, phase, status, iters, _, pivots = lax.while_loop(
+    T, basis, phase, status, iters, _, pivots, _, _ = lax.while_loop(
         cond, body, state0)
 
     # Final solution polish so reported objectives/solutions are drift-free.

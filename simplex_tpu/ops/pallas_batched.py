@@ -48,9 +48,9 @@ def _make_kernel(tol: float):
     # Mosaic cannot reshape i1 (bool) vectors, so every boolean mask below is
     # BORN at its final rank: reductions keep dims, rank-3 masks come from
     # rank-3 iota comparisons, and rank promotions route through int32.
-    def kernel(bland_ref, T_ref, basis_ref, cm1_ref, cm2_ref, phase_ref,
-               status_ref, Tout_ref, basis_out_ref, s_ref, r_ref, opt_ref,
-               unb_ref, did_ref):
+    def kernel(T_ref, basis_ref, cm1_ref, cm2_ref, phase_ref,
+               status_ref, bland_ref, Tout_ref, basis_out_ref, s_ref, r_ref,
+               opt_ref, unb_ref, did_ref):
         T = T_ref[...]                              # (bB, M, N)
         basis = basis_ref[...]                      # (bB, M-1)
         bB, M, N = T.shape
@@ -59,7 +59,7 @@ def _make_kernel(tol: float):
 
         in_p1 = phase_ref[...] == 1                 # (bB, 1)
         live = status_ref[...] == RUNNING           # (bB, 1)
-        use_bland = bland_ref[0] > 0
+        use_bland = bland_ref[...] > 0              # (bB, 1) per instance
 
         # ---- Pricing: entering column s ------------------------------- #
         cm = jnp.where(in_p1, cm1_ref[...], cm2_ref[...])        # (bB, N)
@@ -70,7 +70,7 @@ def _make_kernel(tol: float):
         rc_min = jnp.min(rc, axis=-1, keepdims=True)
         s_dantzig = _first_where(rc == rc_min, idx_n)            # (bB,) i32
         s_bland = _first_where(eligible, idx_n)
-        s = jnp.where(use_bland, s_bland, s_dantzig)
+        s = jnp.where(use_bland, s_bland[:, None], s_dantzig[:, None])[:, 0]
         s = jnp.clip(s, 0, N - 1)
         optimal = ~jnp.any(eligible, axis=-1, keepdims=True)     # (bB, 1)
 
@@ -145,7 +145,8 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
                  (1.0 eligible, 0.0 masked; the RHS lane must be 0).
       phase:     (B,) int32 — 1 or 2.
       status:    (B,) int32 — RUNNING (-1) keeps an instance live.
-      use_bland: scalar int32 — nonzero switches pricing to Bland's rule.
+      use_bland: (B,) int32 — nonzero switches that instance's pricing to
+                 Bland's rule (stall-gated anti-cycling; scalars broadcast).
 
     Returns ``(T_new, basis_new, s, r, optimal, unbounded, did_pivot)``;
     the flag vectors have shape (B,).
@@ -156,11 +157,10 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
     grid = (B // bb,)
 
     def bspec(*dims):
-        return pl.BlockSpec((bb,) + dims, lambda i, b_: (i,) + (0,) * len(dims),
+        return pl.BlockSpec((bb,) + dims, lambda i: (i,) + (0,) * len(dims),
                             memory_space=pltpu.VMEM)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=grid,
         in_specs=[
             bspec(M, N),          # T
@@ -169,6 +169,7 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
             bspec(N),             # cm2
             bspec(1),             # phase
             bspec(1),             # status
+            bspec(1),             # bland flags
         ],
         out_specs=[
             bspec(M, N),          # T_out
@@ -185,14 +186,15 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
     ]
-    bland_arr = jnp.asarray(use_bland, jnp.int32).reshape(1)
+    bland_arr = jnp.broadcast_to(
+        jnp.asarray(use_bland, jnp.int32).reshape(-1, 1), (B, 1))
     T2, basis2, s, r, opt, unb, did = pl.pallas_call(
         _make_kernel(tol),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(bland_arr, T, basis,
+    )(T, basis,
       jnp.asarray(cm1, T.dtype), jnp.asarray(cm2, T.dtype),
-      phase.reshape(B, 1), status.reshape(B, 1))
+      phase.reshape(B, 1), status.reshape(B, 1), bland_arr)
     return (T2, basis2, s[:, 0], r[:, 0], opt[:, 0] > 0, unb[:, 0] > 0,
             did[:, 0] > 0)

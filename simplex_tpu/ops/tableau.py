@@ -155,12 +155,19 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
     """
 
     def cond(state):
-        _, _, iters, status, _, _, _, _ = state
+        _, _, iters, status, _, _, _, _, _ = state
         return (status == RUNNING) & (iters < max_iters)
 
     def body(state):
-        T, basis, iters, _, since_ref, stall, best_obj, w = state
-        use_bland = iters >= bland_after
+        T, basis, iters, _, since_ref, stall, best_obj, w, no_imp = state
+        # Stall-gated Bland: engage Bland's rule only after ``bland_after``
+        # consecutive pivots WITHOUT objective improvement, and fall back to
+        # Dantzig/Devex as soon as progress resumes.  Any cycle is
+        # improvement-free, so the anti-cycling guarantee is preserved, while
+        # large non-degenerate solves never pay Bland's slow pivot sequences
+        # (a permanent iteration-count switch measured 11k+ pivots where
+        # Devex needs 2.5k on a 1024x1024 dense LP).
+        use_bland = no_imp >= bland_after
         s, r, optimal, unbounded = select_pivot(
             T, basis, col_mask, tol, use_bland,
             weights=w if devex else None)
@@ -202,6 +209,8 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
         obj = -T[-1, -1]
         improved = obj < best_obj - tol * (1.0 + jnp.abs(best_obj))
         stall = jnp.where(improved, 0, stall + ((branch == 1) & want_stop))
+        no_imp = jnp.where(improved, 0,
+                           no_imp + (branch == 2).astype(no_imp.dtype))
         best_obj = jnp.minimum(best_obj, obj)
         status = jnp.where(
             branch == 0,
@@ -209,15 +218,15 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
             RUNNING,
         )
         iters = iters + (branch == 2).astype(iters.dtype)
-        return T, basis, iters, status, since_ref, stall, best_obj, w
+        return T, basis, iters, status, since_ref, stall, best_obj, w, no_imp
 
     w0 = jnp.ones((T.shape[1] - 1,), T.dtype)
     # since_ref starts beyond the period so the very first verdict is also
     # confirmed against a fresh refactorization.
-    T, basis, iters, status, _, _, _, _ = lax.while_loop(
+    T, basis, iters, status, _, _, _, _, _ = lax.while_loop(
         cond, body,
         (T, basis, iters0, jnp.int32(RUNNING), jnp.int32(1), jnp.int32(0),
-         jnp.asarray(jnp.inf, T.dtype), w0),
+         jnp.asarray(jnp.inf, T.dtype), w0, jnp.int32(0)),
     )
     status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
     return T, basis, iters, status
