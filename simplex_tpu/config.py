@@ -93,11 +93,38 @@ class SolverConfig:
 
     @staticmethod
     def from_env() -> "SolverConfig":
+        """Build a config from ``SIMPLEX_TPU_*`` env vars.
+
+        Every field is honored and every default matches the dataclass, so
+        ``SolverConfig.from_env()`` under an empty environment is exactly
+        ``SolverConfig()`` (an env-configured run must never get a
+        different solver than a default-constructed one).
+        """
+        d = SolverConfig()
+
+        def _env_bool(name: str, default: bool) -> bool:
+            v = os.environ.get(name)
+            if not v:
+                return default
+            return v.strip().lower() in ("1", "true", "yes", "on")
+
+        time_limit_s = os.environ.get("SIMPLEX_TPU_TIME_LIMIT")
+        refactor_s = os.environ.get("SIMPLEX_TPU_REFACTOR_EVERY")
         return SolverConfig(
-            pivot_rule=os.environ.get("SIMPLEX_TPU_PIVOT_RULE", "dantzig"),
-            tol=_env_float("SIMPLEX_TPU_TOL", 1e-6),
-            max_iters=_env_int("SIMPLEX_TPU_MAX_ITERS", 16384),
-            dtype=os.environ.get("SIMPLEX_TPU_DTYPE", "float32"),
+            pivot_rule=os.environ.get("SIMPLEX_TPU_PIVOT_RULE", d.pivot_rule),
+            bland_after=_env_int("SIMPLEX_TPU_BLAND_AFTER", d.bland_after),
+            presolve=_env_bool("SIMPLEX_TPU_PRESOLVE", d.presolve),
+            tol=_env_float("SIMPLEX_TPU_TOL", d.tol),
+            max_iters=_env_int("SIMPLEX_TPU_MAX_ITERS", d.max_iters),
+            dtype=os.environ.get("SIMPLEX_TPU_DTYPE", d.dtype),
+            refine=_env_bool("SIMPLEX_TPU_REFINE", d.refine),
+            time_limit=(float(time_limit_s) if time_limit_s
+                        else d.time_limit),
+            max_history=_env_int("SIMPLEX_TPU_MAX_HISTORY", d.max_history),
+            refactor_every=(int(refactor_s) if refactor_s
+                            else d.refactor_every),
+            batched_backend=os.environ.get("SIMPLEX_TPU_BATCHED_BACKEND",
+                                           d.batched_backend),
         )
 
 

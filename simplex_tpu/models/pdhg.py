@@ -54,7 +54,12 @@ class PdhgResult:
 
 
 def _power_iter_sigma_max(A, iters: int = 30):
-    """Largest singular value per instance via power iteration on A'A."""
+    """Largest singular value per instance via power iteration on A'A.
+
+    The Rayleigh-quotient estimate ``||A v|| / ||v||`` on the converged
+    (normalized) iterate is the returned value — one extra matvec, no
+    second power-iteration pass.
+    """
     B, m, n = A.shape
     key = jax.random.PRNGKey(0)
     v = jax.random.normal(key, (B, n), dtype=A.dtype)
@@ -66,9 +71,6 @@ def _power_iter_sigma_max(A, iters: int = 30):
         return v
 
     v = lax.fori_loop(0, iters, body, v)
-    lam = jnp.linalg.norm(v, axis=1) / (
-        jnp.linalg.norm(lax.fori_loop(0, iters - 1, body, v), axis=1) + 1e-30)
-    # Rayleigh fallback: ||Av|| / ||v||
     v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-30)
     Av = jnp.einsum("bmn,bn->bm", A, v)
     return jnp.linalg.norm(Av, axis=1)
