@@ -83,6 +83,13 @@ class SolverOrchestrator:
         tables = history_svc.history_to_tables(hist)
         path = history_svc.vertex_path_from_history(hist, self.lp.n_vars)
         viz_html = viz_svc.build_visualization_html(self.lp, tables, path)
+        self._history_note = (
+            f"Historial truncado a {hist['max_steps']} pasos."
+            if hist.get("truncated") else None
+        )
+        if self._history_note:
+            viz_html += (
+                f'<p class="history-note">{self._history_note}</p>')
         return viz_html, tables
 
     def _assemble_report(self, result: SimplexResult, viz_html: str,
@@ -108,6 +115,11 @@ class SolverOrchestrator:
             "visualizacion_gilp_html": viz_html,
             "tablas_intermedias": tables,
         }
+        # History longer than the snapshot cap: say so instead of rendering
+        # a silently-truncated table list (additive key, schema-compatible).
+        note = getattr(self, "_history_note", None)
+        if note:
+            report["nota_historial"] = note
         # Additive section (absent from the reference's schema — HiGHS
         # computes marginals but solver_controller.py discards them):
         # shadow prices per constraint and reduced costs per variable,

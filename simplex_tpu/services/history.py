@@ -35,6 +35,9 @@ def compute_pivot_history(lp: LinearProgram,
     """
     sf = compile_standard_form(lp)
     steps = int(max_steps or config.max_history)
+    # Same pricing (devex/dantzig + stall-gated Bland) and the same phase-1
+    # feasibility threshold as the production solve_tableau call, so the
+    # recorded pivot sequence is the path the reported solve actually took.
     T, basis, status, snaps, pivots, valid = tableau_ops.solve_tableau_history(
         jnp.asarray(sf.tableau),
         jnp.asarray(sf.basis),
@@ -44,6 +47,8 @@ def compute_pivot_history(lp: LinearProgram,
         need_phase1=sf.need_phase1,
         tol=max(config.tol, 1e-6),
         max_steps=steps,
+        bland_after=int(config.bland_after),
+        devex=config.pivot_rule == "devex",
     )
     snaps = np.asarray(snaps)
     pivots = np.asarray(pivots)
@@ -73,8 +78,14 @@ def compute_pivot_history(lp: LinearProgram,
         # pivot recorded is the one APPLIED to the previous state — the
         # same convention simple_simplex emits.
 
+    from ..core.problem import STATUS_ITERATION_LIMIT
+
     return {
         "status": int(status),
+        # The scan cap was hit before a verdict: the displayed tables are a
+        # silent prefix of the real pivot sequence unless flagged.
+        "truncated": int(status) == STATUS_ITERATION_LIMIT,
+        "max_steps": steps,
         "entries": entries,
         "n_rows": m,
         "n_cols": nc,

@@ -217,3 +217,41 @@ def test_orchestrator_emits_3d_widget_for_3_vars():
     report = SolverOrchestrator(wrapper).run()
     assert report["solucion_encontrada"]["status"] == "Solucion Factible"
     assert "stx3-svg" in report["visualizacion_gilp_html"]
+
+
+# --------------------------------------------------------------------------- #
+# history truncation + production-pricing parity                              #
+# --------------------------------------------------------------------------- #
+def test_history_truncation_is_flagged_and_reported(storage):
+    from simplex_tpu.config import SolverConfig
+
+    lp = LinearProgram.from_problem_dict(WRAPPER["problema_definicion"])
+    cfg = SolverConfig(max_history=1)      # force the cap below pivot count
+    hist = history_svc.compute_pivot_history(lp, cfg)
+    assert hist["truncated"] is True
+    assert hist["max_steps"] == 1
+
+    report = SolverOrchestrator(WRAPPER, cfg, storage=storage,
+                                save=False).run()
+    assert report["nota_historial"] == "Historial truncado a 1 pasos."
+    assert "Historial truncado" in report["visualizacion_gilp_html"]
+
+
+def test_history_not_truncated_has_no_note(storage):
+    report = SolverOrchestrator(WRAPPER, storage=storage, save=False).run()
+    assert "nota_historial" not in report
+    hist = history_svc.compute_pivot_history(
+        LinearProgram.from_problem_dict(WRAPPER["problema_definicion"]))
+    assert hist["truncated"] is False
+
+
+def test_history_final_objective_matches_production_solve():
+    """Devex history must land on the same optimum as the reported solve."""
+    from simplex_tpu.models.dense import solve_lp
+
+    lp = LinearProgram.from_problem_dict(WRAPPER["problema_definicion"])
+    res = solve_lp(lp)
+    hist = history_svc.compute_pivot_history(lp)
+    # final tableau's -z cell is the min-form objective
+    z_min_hist = -hist["final_tableau"][-1, -1]
+    assert res.fun == pytest.approx(z_min_hist, abs=1e-4)
