@@ -19,6 +19,30 @@ So each iteration moves O(n_pad) floats over ICI (one row + two scalars),
 while the O(m_loc * n_pad) update runs at local HBM bandwidth — the design
 the scaling-book recipe prescribes for this reduction structure.
 
+Numerics match the single-chip kernels (``ops/tableau.py`` /
+``ops/batched.py``):
+
+  * **Devex pricing** — the objective row is replicated, so the
+    Forrest-Goldfarb reference weights are replicated too; the weight
+    update needs only the (already broadcast) normalized pivot row plus one
+    scalar ``psum`` for the leaving variable's column index.
+  * **Stall-gated Bland** — per instance, Bland's rule engages only after
+    ``bland_after`` consecutive pivots without objective improvement and
+    reverts when progress resumes (cycles never improve, so anti-cycling
+    is preserved; the permanent iteration-count switch this replaces is the
+    design commit 2718582 measured at 6.5x more pivots).
+  * **Periodic drift resync** — full distributed refactorization would need
+    a distributed LU of the row-sharded basis matrix (or an all-gather of
+    the whole tableau, defeating memory scaling), so drift is controlled on
+    the two quantities that actually decide pivots and verdicts: every
+    ``refactor_every`` iterations the RHS column gets a sharded Newton
+    refinement against the ORIGINAL data (x_B += ~B^{-1}(b0 - B x_B), with
+    ~B^{-1} read off the current tableau's initial-basis columns — the
+    scheme of ``ops/batched._refine_solution_b``, here with three m-vector
+    all-gathers), and the objective row is re-priced exactly against the
+    current rows (``raw_obj - c_B' T_rows``, one psum).  A final Newton
+    polish runs after the loop so reported solutions are drift-free.
+
 Artificial-variable handling differs from the single-chip kernel: instead of
 a post-phase-1 eviction sweep (a global row loop), basic artificials are
 driven out by a ratio-test preference — any row whose basic variable is
@@ -64,7 +88,7 @@ def make_mesh(batch: int = 1, row: int = 1,
 def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
                   art_mask, obj_row_p1, obj_row_p2, need_p1,
                   row_valid_loc, tol, feas_tol, max_iters, bland_after,
-                  axis="row"):
+                  refactor_every, devex, axis="row"):
     """Per-device while_loop over pivots.  Shapes (device-local):
 
     T_loc:        (B, m_loc, N+1) constraint-row block (no objective row)
@@ -77,7 +101,11 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
     row_valid_loc:(B, m_loc) — False on padding rows
     """
     Bl = T_loc.shape[0]
+    N1 = T_loc.shape[2]
+    N = N1 - 1
     dt = T_loc.dtype
+    col_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    bidx = jnp.arange(Bl)[:, None]
 
     b_scale = 1.0 + lax.pmax(
         jnp.max(jnp.where(row_valid_loc, jnp.abs(T_loc[:, :, -1]), 0.0),
@@ -91,28 +119,99 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
 
     phase0 = jnp.where(need_p1, jnp.int32(1), jnp.int32(2))
 
+    # Drift anchors: the initial rows / basis index the exact original data.
+    # ``basis0_full`` columns of T0 are the identity, so the current
+    # tableau's basis0 columns approximate B^{-1} (ops/batched.py design).
+    T0_loc = T_loc
+    b0_loc = T0_loc[:, :, -1]
+    basis0_full = lax.all_gather(basis_loc, axis, axis=1, tiled=True)
+
+    def _gather_rows(x):
+        return lax.all_gather(x, axis, axis=1, tiled=True)
+
+    def _scatter_cols(idx_full, val_full):
+        """Place per-row values at their basis columns: (B, m) -> (B, N+1).
+
+        Basis columns are distinct within an instance, so scatter-add is a
+        set; the matvec ``M[:, cols] @ v`` then becomes a plain local-row
+        matmul against this dense vector (no lane-axis gather of M).
+        """
+        return jnp.zeros((Bl, N1), dt).at[bidx, idx_full].add(val_full)
+
+    def _newton_rhs(T_cur, basis_cur):
+        """One sharded Newton step on x_B against the original data.
+
+        r0 = b0 - B x_B with B = T0[:, basis]; dx = ~B^{-1} r0 with
+        ~B^{-1} = T_cur[:, basis0].  Kept only where it reduces the global
+        residual and stays finite, so a drifted instance can never get
+        worse.  Comms: three m-vector all-gathers + two scalar psums.
+        """
+        xB_loc = T_cur[:, :, -1]
+        basis_full = _gather_rows(basis_cur)
+        xfull = _scatter_cols(basis_full, _gather_rows(xB_loc))
+        r0_loc = b0_loc - jnp.einsum("bmn,bn->bm", T0_loc, xfull)
+        rfull = _scatter_cols(basis0_full, _gather_rows(r0_loc))
+        xB1_loc = xB_loc + jnp.einsum("bmn,bn->bm", T_cur, rfull)
+        xfull1 = _scatter_cols(basis_full, _gather_rows(xB1_loc))
+        r1_loc = b0_loc - jnp.einsum("bmn,bn->bm", T0_loc, xfull1)
+        ss0 = lax.psum(jnp.sum(r0_loc * r0_loc, axis=1), axis)
+        ss1 = lax.psum(jnp.sum(r1_loc * r1_loc, axis=1), axis)
+        finite = lax.pmin(
+            jnp.all(jnp.isfinite(xB1_loc), axis=1).astype(jnp.int32), axis
+        ) > 0
+        better = (ss1 < ss0) & finite
+        xB_out = jnp.where(better[:, None], xB1_loc, xB_loc)
+        return T_cur.at[:, :, -1].set(xB_out)
+
+    def _reprice(T_cur, basis_cur, raw_obj):
+        """Exact reduced costs for the current rows: raw - c_B' T_rows."""
+        cB = jnp.take_along_axis(raw_obj, basis_cur, axis=1)
+        cB = jnp.where(row_valid_loc, cB, 0.0)
+        local_dot = jnp.einsum("bm,bmn->bn", cB, T_cur)
+        return raw_obj - lax.psum(local_dot, axis)
+
     def cond(state):
-        _T, _basis, _obj, _phase, status, iters = state
+        status, iters = state[4], state[5]
         return jnp.any(status == RUNNING) & (iters < max_iters)
 
     def body(state):
-        T_loc, basis_loc, obj, phase, status, iters = state
+        (T_loc, basis_loc, obj, phase, status, iters, since_ref, w,
+         best_obj, no_imp) = state
         live = status == RUNNING
         in_p1 = phase == 1
         col_mask = jnp.where(in_p1[:, None], col_mask_p1, col_mask_p2)
-        use_bland = iters >= bland_after
+        raw_obj = jnp.where(in_p1[:, None], obj_row_p1, obj_row_p2)
+        # Stall-gated Bland, per instance (see module docstring).
+        use_bland = no_imp >= bland_after
+
+        # ---- periodic drift resync (replicated predicate, all devices
+        # branch together — collectives inside the cond are safe) --------- #
+        def resync(args):
+            T_c, obj_c = args
+            T_n = _newton_rhs(T_c, basis_loc)
+            obj_n = _reprice(T_n, basis_loc, raw_obj)
+            T_n = jnp.where(live[:, None, None], T_n, T_c)
+            obj_n = jnp.where(live[:, None], obj_n, obj_c)
+            return T_n, obj_n
+
+        do_rf = since_ref >= refactor_every
+        T_loc, obj = lax.cond(do_rf, resync, lambda a: a, (T_loc, obj))
 
         # ---- pricing (replicated compute, no comms) -------------------- #
         rc = jnp.where(col_mask, obj[:, :-1], jnp.inf)
         eligible = rc < -tol
-        s = jnp.where(use_bland, jnp.argmax(eligible, axis=-1),
-                      jnp.argmin(rc, axis=-1))
+        if devex:
+            score = jnp.where(eligible, (rc * rc) / w, -jnp.inf)
+            s_price = jnp.argmax(score, axis=-1)
+        else:
+            s_price = jnp.argmin(rc, axis=-1)
+        s = jnp.where(use_bland, jnp.argmax(eligible, axis=-1), s_price)
         optimal = ~jnp.any(eligible, axis=-1)
 
         # ---- ratio test (local + pmin collectives) --------------------- #
         # Column extraction as a one-hot MXU contraction (lane-axis
         # take_along_axis is a slow multi-pass gather on TPU).
-        s_hot = jax.nn.one_hot(s, T_loc.shape[2], dtype=dt)  # (B, N+1)
+        s_hot = jax.nn.one_hot(s, N1, dtype=dt)              # (B, N+1)
         col_loc = jnp.einsum("bmn,bn->bm", T_loc, s_hot)     # (B, m_loc)
         rhs_loc = T_loc[:, :, -1]
         is_art_row = jnp.take_along_axis(art_ext, basis_loc, axis=1)
@@ -178,6 +277,23 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         )
         active = live & ~want_stop
 
+        # ---- Devex weight update (replicated; pre-pivot pivot row) ----- #
+        if devex:
+            # Leaving variable's column = basis at the owner row, one psum.
+            j_out = lax.psum(
+                jnp.sum(jnp.where(owner_rows, basis_loc, 0), axis=1), axis
+            )
+            w_s = jnp.sum(jnp.where(col_idx == s[:, None], w, 0.0), axis=1)
+            alpha = piv_row[:, :-1]
+            w_new = jnp.maximum(w, (alpha * alpha) * w_s[:, None])
+            w_new = jnp.where(col_idx == j_out[:, None],
+                              jnp.maximum(w_s, 1.0)[:, None], w_new)
+            w_new = jnp.where(col_idx == s[:, None], 1.0, w_new)
+            w_new = jnp.where(
+                jnp.max(w_new, axis=1, keepdims=True) > 1e8,
+                jnp.ones_like(w_new), w_new)
+            w = jnp.where(active[:, None], w_new, w)
+
         # ---- rank-1 update (row-parallel, no comms) -------------------- #
         T_new = T_loc - col_loc[:, :, None] * piv_row[:, None, :]
         own_hot = owner_rows  # (B, m_loc) — at most one True per instance
@@ -191,46 +307,69 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         obj_new = obj - obj_s[:, None] * piv_row
         obj = jnp.where(active[:, None], obj_new, obj)
 
+        # ---- objective-progress tracking (stall-gated Bland) ----------- #
+        obj_val = -obj[:, -1]
+        improved = obj_val < best_obj - tol * (1.0 + jnp.abs(best_obj))
+        best_obj = jnp.minimum(best_obj, obj_val)
+        no_imp = jnp.where(improved, 0, no_imp + active.astype(no_imp.dtype))
+
         # ---- phase flip: install + price out the phase-2 objective ----- #
-        # costs_B = obj_row_p2[basis] summed against local rows, psum'ed.
         # Gated: the O(B·m_loc·N) contraction + psum only run on iterations
         # where some instance actually flips.  ``to_p2`` derives from
         # replicated state and pmin-reduced values, so every device takes
         # the same branch — the collective inside the cond is safe.
         def flip(args):
             obj, phase = args
-            basis_costs = jnp.take_along_axis(obj_row_p2, basis_loc, axis=1)
-            local_dot = jnp.einsum("bm,bmn->bn",
-                                   jnp.where(row_valid_loc, basis_costs, 0.0),
-                                   T_loc)
-            priced = obj_row_p2 - lax.psum(local_dot, axis)
+            priced = _reprice(T_loc, basis_loc, obj_row_p2)
             obj = jnp.where(to_p2[:, None], priced, obj)
             phase = jnp.where(to_p2, jnp.int32(2), phase)
             return obj, phase
 
         obj, phase = lax.cond(jnp.any(to_p2), flip, lambda a: a,
                               (obj, phase))
+        # A phase flip installs a fresh objective: reset progress + weights.
+        inf_ = jnp.asarray(jnp.inf, dt)
+        best_obj = jnp.where(to_p2, inf_, best_obj)
+        no_imp = jnp.where(to_p2, 0, no_imp)
+        if devex:
+            w = jnp.where(to_p2[:, None], 1.0, w)
 
-        return (T_loc, basis_loc, obj, phase, status, iters + 1)
+        since_ref = jnp.where(do_rf, jnp.int32(1), since_ref + 1)
+        return (T_loc, basis_loc, obj, phase, status, iters + 1, since_ref,
+                w, best_obj, no_imp)
 
     state0 = (T_loc, basis_loc, obj, phase0,
-              jnp.full((Bl,), RUNNING, jnp.int32), jnp.int32(0))
-    T_loc, basis_loc, obj, phase, status, iters = lax.while_loop(
-        cond, body, state0
-    )
+              jnp.full((Bl,), RUNNING, jnp.int32), jnp.int32(0),
+              jnp.int32(1), jnp.ones((Bl, N), dt),
+              jnp.full((Bl,), jnp.inf, dt), jnp.zeros((Bl,), jnp.int32))
+    (T_loc, basis_loc, obj, phase, status, iters, _, _, _, _) = (
+        lax.while_loop(cond, body, state0))
     status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
+
+    # Final polish: Newton-refine x_B and recompute the objective value from
+    # the refined solution, so reported numbers are drift-free
+    # (the sharded counterpart of ops/batched._refine_solution_b).
+    T_loc = _newton_rhs(T_loc, basis_loc)
+    raw_obj = jnp.where((phase == 1)[:, None], obj_row_p1, obj_row_p2)
+    cB = jnp.where(row_valid_loc,
+                   jnp.take_along_axis(raw_obj, basis_loc, axis=1), 0.0)
+    z_min = lax.psum(jnp.sum(cB * T_loc[:, :, -1], axis=1), axis)
+    obj = obj.at[:, -1].set(-z_min)
+
     return T_loc, basis_loc, obj, status, iters
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "tol", "feas_tol", "max_iters", "bland_after"),
+    static_argnames=("mesh", "tol", "feas_tol", "max_iters", "bland_after",
+                     "refactor_every", "devex"),
 )
 def solve_tableau_sharded(T_rows, basis, obj, col_mask_p1, col_mask_p2,
                           art_mask, obj_row_p1, obj_row_p2, need_p1,
                           row_valid, mesh: Mesh,
                           tol: float = 1e-6, feas_tol: float = 1e-5,
-                          max_iters: int = 4096, bland_after: int = 1024):
+                          max_iters: int = 4096, bland_after: int = 1024,
+                          refactor_every: int = 64, devex: bool = True):
     """Solve LPs with constraint rows sharded over ``mesh`` axis ``row`` and
     instances sharded over ``batch``.
 
@@ -257,7 +396,8 @@ def solve_tableau_sharded(T_rows, basis, obj, col_mask_p1, col_mask_p2,
 
     fn = shard_map(
         functools.partial(_sharded_body, tol=tol, feas_tol=feas_tol,
-                          max_iters=max_iters, bland_after=bland_after),
+                          max_iters=max_iters, bland_after=bland_after,
+                          refactor_every=refactor_every, devex=devex),
         mesh=mesh,
         in_specs=(spec_T, spec_rows, spec_rep, spec_rep, spec_rep,
                   spec_rep, spec_rep, spec_rep, spec_b, spec_rows),
@@ -268,27 +408,36 @@ def solve_tableau_sharded(T_rows, basis, obj, col_mask_p1, col_mask_p2,
               obj_row_p1, obj_row_p2, need_p1, row_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("n_vars",))
+def _extract_sharded_jit(T_rows, basis, obj, row_valid, n_vars: int):
+    rhs = jnp.where(row_valid, T_rows[..., -1], 0.0)          # (B, m)
+    onehot = basis[:, :, None] == jnp.arange(n_vars,
+                                             dtype=basis.dtype)[None, None, :]
+    x = jnp.sum(jnp.where(onehot, rhs[:, :, None], 0.0), axis=1)
+    return x, -obj[:, -1]
+
+
 def extract_solution_sharded(T_rows, basis, obj, row_valid, n_vars: int):
-    """Recover (x, z_min) from sharded results (host-side, small gathers)."""
-    rhs = np.where(np.asarray(row_valid), np.asarray(T_rows)[:, :, -1], 0.0)
-    basis = np.asarray(basis)
-    B = rhs.shape[0]
-    x = np.zeros((B, n_vars))
-    for i in range(B):
-        sel = basis[i] < n_vars
-        x[i, basis[i][sel]] = rhs[i][sel]
-    z_min = -np.asarray(obj)[:, -1]
-    return x, z_min
+    """Recover (x, z_min) from sharded results.
+
+    Runs as one jitted one-hot contraction over the sharded arrays (GSPMD
+    inserts the row-axis reduction), so only the (B, n_vars) result crosses
+    to host — no per-instance Python loop, no full-tableau fetch.
+    """
+    x, z_min = _extract_sharded_jit(T_rows, basis, jnp.asarray(obj),
+                                    jnp.asarray(row_valid), n_vars)
+    return np.asarray(x), np.asarray(z_min)
 
 
 def solve_arrays_sharded(c, A, b, ops, maximize=True, mesh: Mesh = None,
                          dtype=np.float32, tol: float = 1e-6,
-                         max_iters: int = 4096):
+                         max_iters: int = 4096, bland_after: int = 1024,
+                         refactor_every: int = 64, devex: bool = True):
     """Convenience driver: uniform array batch → sharded solve → results.
 
     Pads the batch to the ``batch`` mesh axis and rows to a multiple of the
     ``row`` axis, places shards with ``jax.device_put``, runs the sharded
-    kernel, and extracts per-instance solutions host-side.
+    kernel, and extracts per-instance solutions on device.
     """
     from ..models.batched import compile_batch_uniform
 
@@ -341,7 +490,8 @@ def solve_arrays_sharded(c, A, b, ops, maximize=True, mesh: Mesh = None,
         jax.device_put(jnp.asarray(row_valid), sh_rows),
     )
     T_out, basis_out, obj_out, status, iters = solve_tableau_sharded(
-        *args, mesh=mesh, tol=tol, max_iters=max_iters
+        *args, mesh=mesh, tol=tol, max_iters=max_iters,
+        bland_after=bland_after, refactor_every=refactor_every, devex=devex,
     )
     x, z_min = extract_solution_sharded(T_out, basis_out, obj_out,
                                         row_valid, cb.n_vars)
