@@ -60,6 +60,11 @@ class LinearProgram:
     ops: np.ndarray               # (m,) int8 in {OP_LE, OP_EQ, OP_GE}
     maximize: bool = True
     variables: Optional[List[str]] = None  # display names, numeric order
+    # (n,) bool — True marks a FREE variable (no sign restriction).  The
+    # default (None → all False) keeps the reference's implicit ``x >= 0``
+    # convention (``solver_controller.py:163``); real netlib LPs need free
+    # variables (MPS FR/MI bounds), compiled via the x = x+ - x- split.
+    free: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.c = np.asarray(self.c, dtype=np.float64).reshape(-1)
@@ -70,6 +75,15 @@ class LinearProgram:
         self.ops = np.asarray(self.ops, dtype=np.int8).reshape(-1)
         if self.variables is None:
             self.variables = [f"x{i + 1}" for i in range(self.c.shape[0])]
+        if self.free is None:
+            self.free = np.zeros((self.c.shape[0],), dtype=bool)
+        else:
+            self.free = np.asarray(self.free, dtype=bool).reshape(
+                self.c.shape[0])
+
+    @property
+    def has_free(self) -> bool:
+        return bool(np.any(self.free))
 
     @property
     def n_vars(self) -> int:
@@ -132,6 +146,41 @@ class LinearProgram:
         }
 
 
+def split_free_variables(
+        lp: LinearProgram) -> Tuple[LinearProgram, Optional[np.ndarray]]:
+    """Rewrite free variables as ``x = x+ - x-`` (both nonnegative).
+
+    Returns an equivalent all-nonnegative LP plus the indices of the split
+    variables (or ``(lp, None)`` unchanged when none are free).  The
+    negative parts are appended as extra columns ``n .. n+k-1`` in the order
+    of ``free_idx``; :func:`merge_free_solution` undoes the split.  This is
+    the standard-form lowering real netlib LPs need (MPS FR/MI bounds) that
+    the reference's implicit ``x >= 0`` convention cannot express
+    (``solver_controller.py:163``).
+    """
+    if not lp.has_free:
+        return lp, None
+    free_idx = np.where(lp.free)[0]
+    c2 = np.concatenate([lp.c, -lp.c[free_idx]])
+    A2 = np.hstack([lp.A, -lp.A[:, free_idx]])
+    names2 = list(lp.variables) + [
+        f"{lp.variables[j]}__neg" for j in free_idx]
+    lp2 = LinearProgram(c=c2, A=A2, b=lp.b, ops=lp.ops.copy(),
+                        maximize=lp.maximize, variables=names2)
+    return lp2, free_idx
+
+
+def merge_free_solution(x2: np.ndarray, n_vars: int,
+                        free_idx: Optional[np.ndarray]) -> np.ndarray:
+    """Recover the user-space solution from a split-variable solve."""
+    x2 = np.asarray(x2, dtype=np.float64).reshape(-1)
+    if free_idx is None:
+        return x2[:n_vars]
+    x = x2[:n_vars].copy()
+    x[free_idx] -= x2[n_vars: n_vars + free_idx.shape[0]]
+    return x
+
+
 @dataclasses.dataclass
 class StandardForm:
     """Padded, masked two-phase tableau data ready for device kernels.
@@ -173,6 +222,10 @@ def compile_standard_form(lp: LinearProgram,
     handled, implicit ``x >= 0`` bounds), but emits a self-contained tableau
     with slack/surplus/artificial columns instead of scipy's A_ub/A_eq split.
     """
+    if lp.has_free:
+        raise ValueError(
+            "compile_standard_form requiere un LP con x >= 0; aplique "
+            "split_free_variables primero (x = x+ - x-).")
     m, n = lp.n_cons, lp.n_vars
     A = lp.A.copy()
     b = lp.b.copy()

@@ -27,6 +27,8 @@ from ..core.problem import (
     LinearProgram,
     STATUS_OPTIMAL,
     compile_standard_form,
+    merge_free_solution,
+    split_free_variables,
 )
 from ..ops import batched as batched_ops
 
@@ -254,6 +256,15 @@ class BatchedSimplexSolver:
         assert len(n_vars) == 1, (
             f"solve_many requires a uniform variable count, got {n_vars}"
         )
+        n_user = lps[0].n_vars
+        free_maps = None
+        if any(lp.has_free for lp in lps):
+            # Lower free variables per instance (x = x+ - x-).  The split
+            # columns sit right after the user columns, so extraction reads
+            # the widest expanded width and each instance merges its own map.
+            pairs = [split_free_variables(lp) for lp in lps]
+            lps = [p[0] for p in pairs]
+            free_maps = [p[1] for p in pairs]
         dtype = np.dtype(self.config.dtype)
         sfs = [compile_standard_form(lp) for lp in lps]
         m_pad = max(sf.m_pad for sf in sfs)
@@ -298,10 +309,17 @@ class BatchedSimplexSolver:
         cb = CompiledBatch(
             T0=T0, basis=basis, col_mask_p1=cm1, col_mask_p2=cm2,
             obj_row_p1=o1, obj_row_p2=o2, need_p1=need,
-            n_vars=sfs[0].n_vars,
+            n_vars=max(sf.n_vars for sf in sfs),
             maximize=np.array([lp.maximize for lp in lps]),
         )
-        return self._solve_compiled(cb)
+        res = self._solve_compiled(cb)
+        if free_maps is not None:
+            merged = np.stack([
+                merge_free_solution(res.x[i], n_user, free_maps[i])
+                for i in range(len(lps))
+            ])
+            res = dataclasses.replace(res, x=merged)
+        return res
 
 
 def solve_lp_batch(lps: Sequence[LinearProgram],
@@ -326,7 +344,7 @@ def solve_lp_sweep(lps: Sequence[LinearProgram],
     buckets = defaultdict(list)
     solver = BatchedSimplexSolver(config)
     for idx, lp in enumerate(lps):
-        sf = compile_standard_form(lp)
+        sf = compile_standard_form(split_free_variables(lp)[0])
         buckets[(lp.n_vars, sf.m_pad, sf.n_pad)].append(idx)
 
     results = [None] * len(lps)

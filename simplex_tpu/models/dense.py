@@ -26,6 +26,8 @@ from ..core.problem import (
     STATUS_MESSAGES,
     STATUS_OPTIMAL,
     compile_standard_form,
+    merge_free_solution,
+    split_free_variables,
 )
 from ..ops import tableau as tableau_ops
 
@@ -130,6 +132,158 @@ def _sensitivity_on_host(sf: StandardForm, lp: LinearProgram,
     return duals, reduced
 
 
+def _certify_optimal_basis(sf: StandardForm, lp: LinearProgram,
+                           basis: np.ndarray, tol: float = 1e-7) -> bool:
+    """f64 KKT check of a device-optimal basis (host).
+
+    The f32 device loop can be defeated by exactly-dependent columns — e.g.
+    the ± pairs a free-variable split produces: round-off drift lets a
+    dependent column into the basis, the basis matrix turns singular, and
+    refactorization against it can certify a false verdict.  So every
+    'optimal' claimed by the f32 loop is re-checked here in float64:
+    primal feasibility (``B x_B = b`` with ``x_B >= -tol``), dual
+    feasibility (``rc >= -tol`` over phase-2 columns), and no artificial
+    basic above tolerance.
+    """
+    m = sf.n_rows
+    basis = np.asarray(basis[:m], dtype=np.int64)
+    if np.any(basis >= sf.n_cols):
+        return False
+    sf64 = compile_standard_form(lp, dtype=np.float64)
+    A_full = sf64.tableau[:m, : sf.n_cols]
+    b = sf64.tableau[:m, sf64.n_pad]
+    c_full = sf64.obj_row_p2[: sf.n_cols]
+    B = A_full[:, basis]
+    try:
+        x_B = np.linalg.solve(B, b)
+        y = np.linalg.solve(B.T, c_full[basis])
+    except np.linalg.LinAlgError:
+        return False
+    if not (np.all(np.isfinite(x_B)) and np.all(np.isfinite(y))):
+        return False
+    scale = 1.0 + float(np.max(np.abs(b))) if b.size else 1.0
+    if np.any(x_B < -tol * scale):
+        return False
+    art = (sf.col_mask_p1 & ~sf.col_mask_p2)[: sf.n_cols]
+    if np.any(art[basis] & (np.abs(x_B) > tol * scale)):
+        return False
+    rc = c_full - y @ A_full
+    c_scale = 1.0 + float(np.max(np.abs(c_full)))
+    valid = sf.col_mask_p2[: sf.n_cols]
+    return bool(np.all(rc[valid] >= -tol * c_scale))
+
+
+def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
+    """Reference two-phase dense simplex in numpy float64 (host).
+
+    The escalation engine behind :func:`solve_lp`: when the f32 device
+    verdict fails certification, the SAME compiled standard form is
+    re-solved here exactly (Dantzig pricing with a stall-gated Bland
+    fallback, Harris two-pass ratio test, periodic refactorization).
+    Pure numpy — no toolchain or device dependency — and returns the basis
+    so the refine/sensitivity machinery applies unchanged.
+    Returns ``(status, basis, nit)``.
+    """
+    T = sf64.tableau.astype(np.float64).copy()
+    basis = sf64.basis.astype(np.int64).copy()
+    n_pad = sf64.n_pad
+    raw1 = sf64.obj_row_p1.astype(np.float64)
+    raw2 = sf64.obj_row_p2.astype(np.float64)
+    T0_rows = sf64.tableau.astype(np.float64)[:-1]
+    tol = 1e-9
+    nit = 0
+
+    def refactor(obj_raw):
+        nonlocal T
+        B = T0_rows[:, basis]
+        try:
+            T_rows = np.linalg.solve(B, T0_rows)
+        except np.linalg.LinAlgError:
+            return False
+        if not np.all(np.isfinite(T_rows)):
+            return False
+        obj = obj_raw - obj_raw[basis] @ T_rows
+        T = np.concatenate([T_rows, obj[None, :]], axis=0)
+        return True
+
+    def run_phase(col_mask, obj_raw):
+        nonlocal T, basis, nit
+        since, no_imp, best = 0, 0, np.inf
+        for _ in range(max_iters):
+            rc = np.where(col_mask, T[-1, :-1], np.inf)
+            eligible = rc < -tol
+            if not eligible.any():
+                if since and refactor(obj_raw):
+                    since = 0
+                    continue
+                return STATUS_OPTIMAL
+            s = int(np.argmax(eligible)) if no_imp >= 64 else \
+                int(np.argmin(rc))
+            col = T[:-1, s]
+            rhs = T[:-1, -1]
+            pos = col > tol
+            if not pos.any():
+                if since and refactor(obj_raw):
+                    since = 0
+                    continue
+                return 3  # unbounded
+            ratios = np.where(pos, rhs / np.where(pos, col, 1.0), np.inf)
+            if no_imp >= 64:             # Bland row rule
+                near = ratios <= ratios.min() * (1 + 1e-12) + 1e-300
+                key = np.where(near & pos, basis, np.iinfo(np.int64).max)
+                r = int(np.argmin(key))
+            else:                        # Harris: biggest pivot in window
+                delta = tol * (1.0 + np.abs(rhs))
+                tmax = np.where(pos, (rhs + delta) /
+                                np.where(pos, col, 1.0), np.inf).min()
+                cand = pos & (ratios <= tmax)
+                r = int(np.argmax(np.where(cand, col, -np.inf)))
+            prow = T[r] / T[r, s]
+            T = T - T[:, s:s + 1] * prow[None, :]
+            T[r] = prow
+            T[:, s] = 0.0
+            T[r, s] = 1.0
+            basis[r] = s
+            nit += 1
+            since += 1
+            obj = -T[-1, -1]
+            if obj < best - tol * (1.0 + abs(best)):
+                best, no_imp = obj, 0
+            else:
+                no_imp += 1
+            if since >= 256:
+                refactor(obj_raw)
+                since = 0
+        return STATUS_ITERATION_LIMIT
+
+    if sf64.need_phase1:
+        st = run_phase(sf64.col_mask_p1, raw1)
+        if st != STATUS_OPTIMAL:
+            return (st if st != 3 else STATUS_ITERATION_LIMIT, basis, nit)
+        b_scale = 1.0 + float(np.max(np.abs(T0_rows[:, n_pad])))
+        if -T[-1, -1] > 1e-7 * b_scale:
+            return (2, basis, nit)       # infeasible
+        # Evict basic artificials (zero rows stay put harmlessly).
+        art = np.concatenate([sf64.col_mask_p1 & ~sf64.col_mask_p2,
+                              np.zeros((1,), bool)])
+        for i in range(T.shape[0] - 1):
+            if art[basis[i]]:
+                row = np.where(sf64.col_mask_p2, np.abs(T[i, :-1]), -np.inf)
+                j = int(np.argmax(row))
+                if row[j] > tol:
+                    prow = T[i] / T[i, j]
+                    T = T - T[:, j:j + 1] * prow[None, :]
+                    T[i] = prow
+                    T[:, j] = 0.0
+                    T[i, j] = 1.0
+                    basis[i] = j
+    # Install + price out phase-2 objective.
+    obj2 = raw2 - raw2[basis] @ T[:-1]
+    T[-1] = obj2
+    st = run_phase(sf64.col_mask_p2, raw2)
+    return (st, basis, nit)
+
+
 def _try_warm_start(sf: StandardForm,
                     warm_basis: np.ndarray) -> Optional[StandardForm]:
     """Rebuild the tableau from a saved basis if it is primal-feasible.
@@ -182,6 +336,19 @@ def solve_lp(lp: LinearProgram,
     t0 = time.perf_counter()
     dtype = np.dtype(config.dtype)
 
+    if lp.has_free:
+        # Netlib-class LPs have unrestricted variables (MPS FR/MI/negative
+        # LO); lower them to the nonnegative IR via x = x+ - x- and merge
+        # back.  Duals are unchanged; reduced costs of the first n columns
+        # are the user-space +direction marginals.
+        lp2, fidx = split_free_variables(lp)
+        res = solve_lp(lp2, config, warm_basis)
+        if res.x is not None:
+            res.x = merge_free_solution(res.x, lp.n_vars, fidx)
+        if res.reduced_costs is not None:
+            res.reduced_costs = res.reduced_costs[: lp.n_vars]
+        return res
+
     if config.presolve and warm_basis is None:
         from ..core.presolve import presolve as _presolve
 
@@ -223,12 +390,10 @@ def solve_lp(lp: LinearProgram,
                              message=STATUS_MESSAGES[0], nit=0,
                              z=0.0, solve_time=time.perf_counter() - t0)
 
-    sf = compile_standard_form(
-        lp,
-        row_pad=_bucket(lp.n_cons),
-        col_pad=_bucket(lp.n_cons + 2 * lp.n_cons + lp.n_vars, 16),
-        dtype=dtype,
-    )
+    row_pad = _bucket(lp.n_cons)
+    col_pad = _bucket(lp.n_cons + 2 * lp.n_cons + lp.n_vars, 16)
+    sf = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,
+                               dtype=dtype)
 
     if warm_basis is not None:
         warm = _try_warm_start(sf, warm_basis)
@@ -280,6 +445,25 @@ def solve_lp(lp: LinearProgram,
             break                      # cannot resume — report the cap
         sf_run = warm
 
+    # f64 verdict certification + escalation.  The f32 device loop is the
+    # fast path, but exactly-dependent columns (e.g. the ± pairs of a
+    # free-variable split) can drift it onto a singular basis whose
+    # refactorization certifies a false optimal/unbounded/infeasible.  A
+    # claimed optimum is KKT-checked on host in f64; failed checks and all
+    # terminal infeasible/unbounded verdicts are re-solved exactly by the
+    # host f64 reference engine (same compiled standard form).
+    escalated = False
+    if status == STATUS_OPTIMAL:
+        if not _certify_optimal_basis(sf, lp, basis_np):
+            escalated = True
+    elif status in (2, 3):
+        escalated = True
+    if escalated:
+        sf64 = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,
+                                     dtype=np.float64)
+        status, basis_np, nit2 = _host_simplex_f64(sf64)
+        nit += nit2
+
     if status != STATUS_OPTIMAL:
         return SimplexResult(
             x=None, fun=None, status=status, success=False,
@@ -288,16 +472,27 @@ def solve_lp(lp: LinearProgram,
             solve_time=time.perf_counter() - t0,
         )
 
-    x_dev, z_min_dev = tableau_ops.extract_solution(T, basis, sf.n_vars)
-    x = np.asarray(x_dev, dtype=np.float64)
     c_min = -lp.c if lp.maximize else lp.c
-    fun = float(np.asarray(z_min_dev))
-
-    if config.refine:
+    if escalated:
+        # The device tableau is stale — recover the vertex from the basis.
         x_full = _refine_on_host(sf, lp, basis_np)
-        if x_full is not None and np.all(x_full[: sf.n_cols] >= -1e-7):
-            x = x_full[: lp.n_vars]
-            fun = float(c_min @ x)
+        if x_full is None:
+            return SimplexResult(
+                x=None, fun=None, status=STATUS_ITERATION_LIMIT,
+                success=False, message=STATUS_MESSAGES[1], nit=nit,
+                basis=basis_np, solve_time=time.perf_counter() - t0)
+        x = x_full[: lp.n_vars]
+        fun = float(c_min @ x)
+    else:
+        x_dev, z_min_dev = tableau_ops.extract_solution(T, basis, sf.n_vars)
+        x = np.asarray(x_dev, dtype=np.float64)
+        fun = float(np.asarray(z_min_dev))
+
+        if config.refine:
+            x_full = _refine_on_host(sf, lp, basis_np)
+            if x_full is not None and np.all(x_full[: sf.n_cols] >= -1e-7):
+                x = x_full[: lp.n_vars]
+                fun = float(c_min @ x)
 
     duals, reduced = _sensitivity_on_host(sf, lp, basis_np)
 
@@ -329,6 +524,14 @@ def reoptimize(lp: LinearProgram, basis: np.ndarray,
     """
     t0 = time.perf_counter()
     dtype = np.dtype(config.dtype)
+    if lp.has_free:
+        lp2, fidx = split_free_variables(lp)
+        res = reoptimize(lp2, basis, config)
+        if res.x is not None:
+            res.x = merge_free_solution(res.x, lp.n_vars, fidx)
+        if res.reduced_costs is not None:
+            res.reduced_costs = res.reduced_costs[: lp.n_vars]
+        return res
     if lp.n_cons == 0 or basis is None:
         return solve_lp(lp, config)
 

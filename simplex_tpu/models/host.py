@@ -14,7 +14,13 @@ import time
 import numpy as np
 
 from ..config import SolverConfig, DEFAULT_CONFIG
-from ..core.problem import LinearProgram, STATUS_MESSAGES, STATUS_OPTIMAL
+from ..core.problem import (
+    LinearProgram,
+    STATUS_MESSAGES,
+    STATUS_OPTIMAL,
+    merge_free_solution,
+    split_free_variables,
+)
 from ..runtime.native import load_simplex_host
 from .dense import SimplexResult
 
@@ -28,6 +34,12 @@ class HostSimplexSolver:
 
     def solve(self, lp: LinearProgram) -> SimplexResult:
         t0 = time.perf_counter()
+        if lp.has_free:
+            lp2, fidx = split_free_variables(lp)
+            res = self.solve(lp2)
+            if res.x is not None:
+                res.x = merge_free_solution(res.x, lp.n_vars, fidx)
+            return res
         m, n = lp.n_cons, lp.n_vars
         if m == 0:
             # Mirror models.dense: unbounded iff some cost direction improves.

@@ -40,6 +40,8 @@ from ..core.problem import (
     STATUS_OPTIMAL,
     STATUS_UNBOUNDED,
     compile_standard_form,
+    merge_free_solution,
+    split_free_variables,
 )
 from .dense import SimplexResult, _refine_on_host
 
@@ -181,6 +183,12 @@ class RevisedSimplexSolver:
 
     def solve(self, lp: LinearProgram) -> SimplexResult:
         t0 = time.perf_counter()
+        if lp.has_free:
+            lp2, fidx = split_free_variables(lp)
+            res = self.solve(lp2)
+            if res.x is not None:
+                res.x = merge_free_solution(res.x, lp.n_vars, fidx)
+            return res
         if lp.n_cons == 0:
             from .dense import solve_lp
             return solve_lp(lp, self.config)

@@ -70,14 +70,31 @@ def select_pivot(T, basis, col_mask, tol, use_bland, weights=None):
     min_ratio = jnp.min(ratios)
     unbounded = (~optimal) & jnp.isinf(min_ratio)
 
-    # Tie-break near-minimal ratios by smallest basis index (Bland on rows).
-    # The tie window must be at round-off scale (NOT the optimality tol):
-    # admitting a strictly larger ratio would drive a basic variable negative
-    # and void both primal feasibility and Bland's termination guarantee.
+    # Harris two-pass ratio test (stability): pass 1 bounds the step by the
+    # tol-relaxed minimum ratio; pass 2 picks the LARGEST pivot element among
+    # rows whose exact ratio fits under that bound.  Tiny pivot elements
+    # (barely above ``tol``) are what turn the basis near-singular and let
+    # f32 refactorization certify false verdicts — e.g. on split-variable
+    # (x = x+ - x-) LPs whose columns come in exact ± pairs.  The basic
+    # variables other than the leaving one drift at most ``delta`` negative
+    # per pivot, which the periodic exact refactorization re-zeroes.
+    delta = tol * (1.0 + jnp.abs(rhs))
+    theta_relax = jnp.where(positive,
+                            (rhs + delta) / jnp.where(positive, col, 1.0),
+                            jnp.inf)
+    theta_max = jnp.min(theta_relax)
+    cand = positive & (ratios <= theta_max)
+    r_harris = jnp.argmax(jnp.where(cand, col, -jnp.inf))
+
+    # Bland mode: smallest basis index among near-minimal ratios (the row
+    # rule Bland's termination proof needs).  The tie window stays at
+    # round-off scale — admitting a strictly larger ratio would void the
+    # anti-cycling guarantee.
     eps = jnp.finfo(T.dtype).eps
     near = ratios <= min_ratio + 64.0 * eps * (1.0 + jnp.abs(min_ratio))
     tie_key = jnp.where(near & positive, basis, _INT_MAX)
-    r = jnp.argmin(tie_key)
+    r_bland = jnp.argmin(tie_key)
+    r = jnp.where(use_bland, r_bland, r_harris)
     return s, r, optimal, unbounded
 
 
@@ -259,7 +276,10 @@ def _evict_artificials(T, basis, art_mask_ext, col_mask_p2, tol):
         is_art = art_mask_ext[basis[i]]
         row = lax.dynamic_slice_in_dim(T, i, 1, axis=0)[0]
         cand = col_mask_p2 & (jnp.abs(row[:-1]) > tol)
-        j = jnp.argmax(cand)
+        # Largest-magnitude eligible entry: eviction pivots on zero-value
+        # rows, so pivot size is pure numerical hygiene (a ~tol pivot here
+        # would shear the whole tableau by ~1/tol).
+        j = jnp.argmax(jnp.where(cand, jnp.abs(row[:-1]), -jnp.inf))
         can_pivot = is_art & jnp.any(cand)
 
         def do(args):

@@ -1,12 +1,14 @@
 """MPS file reader → :class:`LinearProgram` (netlib-style LPs).
 
 BASELINE config 4 targets "netlib-style sparse LPs"; netlib distributes its
-problems in fixed/free MPS format.  This reader supports the subset those
-problems need: NAME, ROWS (N/L/G/E), COLUMNS, RHS, RANGES, and BOUNDS with
-UP/LO/FX/BV entries.  Upper/lower bounds are lowered onto extra constraint
-rows (the framework's IR keeps the implicit ``x >= 0`` convention of the
-reference, ``solver_controller.py:163``); FR/MI (free/negative) variables
-are rejected with a clear error.
+problems in fixed/free MPS format.  This reader supports what those
+problems need: NAME, ROWS (N/L/G/E), COLUMNS, RHS, RANGES, OBJSENSE, and
+BOUNDS with UP/UI/LO/FX/FR/MI/PL entries (BV/integer markers rejected).
+Finite bounds are lowered onto extra constraint rows; FR/MI/negative-LO
+variables are marked ``free`` on the IR and compiled through the
+``x = x+ - x-`` split (``core.problem.split_free_variables``) — the relaxation
+of the reference's implicit ``x >= 0`` convention
+(``solver_controller.py:163``) that real netlib instances require.
 """
 from __future__ import annotations
 
@@ -122,28 +124,51 @@ def parse_mps(text: str, maximize: bool = False) -> LinearProgram:
             b[i] = lo
             extra_rows.append((A[i].copy(), OP_LE, hi))
 
-    # BOUNDS → extra rows (IR keeps implicit x >= 0).
+    # BOUNDS → free-variable marks + extra rows.  The IR's default is the
+    # reference's implicit ``x >= 0`` (``solver_controller.py:163``); real
+    # netlib LPs relax it with FR/MI/negative-LO bounds, lowered here to the
+    # ``free`` mask (compiled via the x = x+ - x- split) plus explicit bound
+    # rows.  Classic fixed-MPS quirk honored: an UP bound with a negative
+    # value on a variable with no explicit LO implies a -inf lower bound.
     unit = np.eye(n)
+    free = np.zeros((n,), dtype=bool)
+    has_lo = set()
+    for kind, var, _ in bounds:
+        if kind in ("LO", "FX", "BV", "FR", "MI") and var in col_idx:
+            has_lo.add(col_idx[var])
     for kind, var, val in bounds:
         if var not in col_idx:
             continue
         j = col_idx[var]
         if kind in ("UP", "UI"):
+            if val is None:
+                raise ValueError(f"Cota UP sin valor para {var}.")
             extra_rows.append((unit[j].copy(), OP_LE, float(val)))
+            if val < 0 and j not in has_lo:
+                free[j] = True
         elif kind == "LO":
-            if val is None or val < 0:
-                raise ValueError(
-                    f"Cota inferior negativa no soportada para {var}.")
-            if val > 0:
+            if val is None:
+                raise ValueError(f"Cota LO sin valor para {var}.")
+            if val < 0:
+                free[j] = True
+            if val != 0:
                 extra_rows.append((unit[j].copy(), OP_GE, float(val)))
         elif kind == "FX":
+            if float(val) < 0:
+                free[j] = True
             extra_rows.append((unit[j].copy(), OP_EQ, float(val)))
         elif kind == "BV":
             raise ValueError("Variables binarias (BV) no soportadas.")
-        elif kind in ("FR", "MI"):
-            raise ValueError(
-                f"Variables libres/negativas ({kind}) no soportadas; "
-                f"el IR asume x >= 0.")
+        elif kind == "FR":
+            free[j] = True
+        elif kind == "MI":
+            free[j] = True
+            # MI sets only the lower bound to -inf; the default upper bound
+            # for an MI variable is 0 in strict fixed MPS, but every modern
+            # reader (HiGHS, scipy, CPLEX docs) keeps +inf unless an UP row
+            # follows — adopt the modern convention.
+        elif kind == "PL":
+            pass                           # default [0, +inf) — a no-op
 
     if extra_rows:
         A = np.vstack([A] + [r[0][None, :] for r in extra_rows])
@@ -152,7 +177,8 @@ def parse_mps(text: str, maximize: bool = False) -> LinearProgram:
         b = np.concatenate([b, np.array([r[2] for r in extra_rows])])
 
     return LinearProgram(c=c, A=A, b=b, ops=ops, maximize=maximize,
-                         variables=[f"x{j + 1}" for j in range(n)])
+                         variables=[f"x{j + 1}" for j in range(n)],
+                         free=free)
 
 
 def load_mps(path: str, maximize: bool = False) -> LinearProgram:
@@ -161,11 +187,15 @@ def load_mps(path: str, maximize: bool = False) -> LinearProgram:
 
 
 def generate_netlib_style(seed: int, m: int = 50, n: int = 120,
-                          density: float = 0.15) -> LinearProgram:
+                          density: float = 0.15,
+                          n_free: int = 0) -> LinearProgram:
     """Random sparse netlib-shaped LP (feasible by construction).
 
     Columns >> rows with sparse A, like the netlib set; b is chosen as
     A @ x0 for a random nonnegative x0 so the feasible region is nonempty.
+    ``n_free`` marks the first columns unrestricted (as netlib FR/MI
+    bounds do); each gets sandwich rows ``-5 <= x_j <= 5`` — the bound
+    rows a real MPS BOUNDS section lowers to — so the LP stays bounded.
     """
     rng = np.random.default_rng(seed)
     mask = rng.random((m, n)) < density
@@ -174,7 +204,10 @@ def generate_netlib_style(seed: int, m: int = 50, n: int = 120,
     for i in range(m):
         if not A[i].any():
             A[i, rng.integers(0, n)] = 1.0
+    n_free = min(n_free, n)
     x0 = rng.uniform(0.0, 2.0, size=n)
+    if n_free:
+        x0[:n_free] = rng.uniform(-2.0, 2.0, size=n_free)
     b = A @ x0
     ops = rng.choice([OP_LE, OP_GE, OP_EQ], size=m, p=[0.5, 0.3, 0.2])
     # Relax b in the direction of each op so x0 stays strictly feasible.
@@ -183,5 +216,14 @@ def generate_netlib_style(seed: int, m: int = 50, n: int = 120,
                  np.where(ops == OP_GE, b - slack, b))
     # Nonnegative min-form costs keep the LP bounded below over x >= 0.
     c = (np.abs(rng.normal(size=n)) + 0.01).round(3)
+    free = np.zeros((n,), dtype=bool)
+    if n_free:
+        free[:n_free] = True
+        unit = np.eye(n)
+        A = np.vstack([A, unit[:n_free], unit[:n_free]])
+        b = np.concatenate([b, np.full(n_free, 5.0), np.full(n_free, -5.0)])
+        ops = np.concatenate([ops,
+                              np.full(n_free, OP_LE, dtype=ops.dtype),
+                              np.full(n_free, OP_GE, dtype=ops.dtype)])
     return LinearProgram(c=c, A=A, b=b, ops=ops.astype(np.int8),
-                         maximize=False)
+                         maximize=False, free=free)

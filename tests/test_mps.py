@@ -1,9 +1,22 @@
-"""MPS reader + netlib-style LP tests (BASELINE config 4 coverage)."""
+"""MPS reader + netlib-style LP tests (BASELINE config 4 coverage).
+
+Real netlib MPS files are not redistributable inside this offline image, so
+the fixtures below are hand-built MPS texts exercising the exact format
+features netlib instances use — FR/MI/negative-LO/negative-UP/FX bounds and
+RANGES — with every optimum pinned against scipy/HiGHS on the same data
+(the parity oracle BASELINE.md names).  A genuine netlib file (afiro,
+adlittle, ...) drops into :func:`parse_mps` unchanged.
+"""
 import numpy as np
 import pytest
 from scipy.optimize import linprog
 
 from simplex_tpu import solve_lp
+from simplex_tpu.core.problem import (
+    merge_free_solution,
+    split_free_variables,
+)
+from simplex_tpu.models.batched import solve_lp_batch
 from simplex_tpu.models.revised import RevisedSimplexSolver
 from simplex_tpu.utils.mps import (
     generate_netlib_style,
@@ -31,6 +44,55 @@ BOUNDS
 ENDATA
 """
 
+# Netlib-feature fixture: RANGES + the full free-variable bound vocabulary
+# (FR, MI, negative LO, and the classic negative-UP-implies-free quirk).
+NLFREE1 = """NAME          NLFREE1
+ROWS
+ N  COST
+ L  CAP
+ G  DEMAND
+ E  BAL
+COLUMNS
+    X1        COST         1.0   CAP          2.0
+    X1        DEMAND       1.0
+    X2        COST         2.0   CAP          1.0
+    X2        BAL          1.0
+    X3        COST        -1.0   DEMAND       1.0
+    X3        BAL         -1.0
+    X4        COST         0.5   CAP          1.0
+    X4        BAL          1.0
+    X5        COST        -3.0   DEMAND       1.0
+RHS
+    RHS       CAP         10.0   DEMAND       2.0
+    RHS       BAL          1.0
+RANGES
+    RNG       CAP          4.0
+BOUNDS
+ UP BND       X1           4.0
+ LO BND       X2          -3.0
+ FR BND       X3
+ MI BND       X4
+ UP BND       X5          -1.0
+ENDATA
+"""
+
+
+def _scipy_ref(lp):
+    """Ground truth from scipy/HiGHS with native variable bounds."""
+    A_ub, b_ub, A_eq, b_eq = [], [], [], []
+    for i in range(lp.n_cons):
+        if lp.ops[i] == -1:
+            A_ub.append(lp.A[i]); b_ub.append(lp.b[i])
+        elif lp.ops[i] == 1:
+            A_ub.append(-lp.A[i]); b_ub.append(-lp.b[i])
+        else:
+            A_eq.append(lp.A[i]); b_eq.append(lp.b[i])
+    bounds = [(None, None) if f else (0, None) for f in lp.free]
+    cs = -lp.c if lp.maximize else lp.c
+    return linprog(cs, A_ub=A_ub or None, b_ub=b_ub or None,
+                   A_eq=A_eq or None, b_eq=b_eq or None,
+                   bounds=bounds, method="highs")
+
 
 def test_parse_mps_structure():
     lp = parse_mps(TESTPROB)
@@ -39,24 +101,78 @@ def test_parse_mps_structure():
     assert lp.n_cons == 5
     assert lp.ops.tolist() == [-1, 1, 0, -1, 1]
     assert lp.c.tolist() == [1.0, 2.0, -1.0]
+    assert not lp.has_free
 
 
 def test_parse_mps_solve_matches_scipy():
     lp = parse_mps(TESTPROB)
     r = solve_lp(lp)
-    ref = linprog([1, 2, -1],
-                  A_ub=[[1, 1, 0], [-1, 0, 0], [1, 0, 0], [0, -1, 0]],
-                  b_ub=[4, -1, 4, -1],
-                  A_eq=[[0, -1, 1]], b_eq=[7], method="highs")
+    ref = _scipy_ref(lp)
     assert r.status == ref.status == 0
     assert r.z == pytest.approx(ref.fun, rel=1e-8)
 
 
-def test_parse_mps_rejects_free_variables():
-    text = TESTPROB.replace(" UP BND       X1           4.0",
-                            " FR BND       X1")
-    with pytest.raises(ValueError, match="libres"):
-        parse_mps(text)
+def test_parse_mps_free_bound_vocabulary():
+    lp = parse_mps(NLFREE1)
+    assert lp.n_vars == 5
+    # X1 bounded [0,4]; X2 LO -3 → free; X3 FR; X4 MI; X5 negative-UP quirk.
+    assert lp.free.tolist() == [False, True, True, True, True]
+    # Rows: CAP + DEMAND + BAL + CAP range + UP(X1) + LO(X2) + UP(X5).
+    assert lp.n_cons == 7
+
+
+def test_nlfree1_parity_dense_revised_host():
+    lp = parse_mps(NLFREE1)
+    ref = _scipy_ref(lp)
+    assert ref.status == 0
+    engines = [lambda p: solve_lp(p), RevisedSimplexSolver().solve]
+    try:
+        from simplex_tpu.models.host import HostSimplexSolver
+        engines.append(HostSimplexSolver().solve)
+    except OSError:
+        pass
+    for solve in engines:
+        r = solve(lp)
+        assert r.status == 0
+        assert r.z == pytest.approx(ref.fun, abs=1e-6)
+        assert np.allclose(r.x, ref.x, atol=1e-5)
+        # Optimum genuinely uses the negative orthant.
+        assert np.min(r.x) < -0.5
+
+
+def test_split_free_roundtrip_unit():
+    lp = parse_mps(NLFREE1)
+    lp2, fidx = split_free_variables(lp)
+    assert not lp2.has_free
+    assert lp2.n_vars == lp.n_vars + int(np.sum(lp.free))
+    # Any expanded point maps back to x+ - x-.
+    x2 = np.arange(lp2.n_vars, dtype=np.float64)
+    x = merge_free_solution(x2, lp.n_vars, fidx)
+    expect = x2[: lp.n_vars].copy()
+    expect[fidx] -= x2[lp.n_vars:]
+    assert np.allclose(x, expect)
+    # Objective invariance under the split at matched points.
+    x_user = np.array([1.0, -2.0, 3.0, -0.5, -1.5])
+    x_split = np.concatenate([np.maximum(x_user, 0.0),
+                              np.maximum(-x_user[fidx], 0.0)])
+    assert lp.c @ x_user == pytest.approx(lp2.c @ x_split)
+
+
+def test_batched_free_parity():
+    lps = [parse_mps(NLFREE1), parse_mps(TESTPROB.replace(
+        "RHS       LIM1         4.0", "RHS       LIM1         6.0"))]
+    # Pad TESTPROB to 5 variables (solve_many wants uniform user n_vars).
+    lp_b = lps[1]
+    lp_b = type(lp_b)(
+        c=np.concatenate([lp_b.c, [0.0, 0.0]]),
+        A=np.hstack([lp_b.A, np.zeros((lp_b.n_cons, 2))]),
+        b=lp_b.b, ops=lp_b.ops, maximize=lp_b.maximize)
+    res = solve_lp_batch([lps[0], lp_b])
+    for i, lp in enumerate([lps[0], lp_b]):
+        ref = _scipy_ref(lp)
+        assert res.status[i] == ref.status == 0
+        assert res.z[i] == pytest.approx(ref.fun, abs=1e-4)
+        assert np.allclose(res.x[i], ref.x, atol=1e-3)
 
 
 def test_parse_mps_rejects_integer_markers():
@@ -73,18 +189,22 @@ def test_parse_mps_rejects_integer_markers():
 def test_netlib_style_revised_matches_scipy(seed):
     lp = generate_netlib_style(seed, m=25, n=60)
     r = RevisedSimplexSolver().solve(lp)
-    A_ub, b_ub, A_eq, b_eq = [], [], [], []
-    for i in range(lp.n_cons):
-        if lp.ops[i] == -1:
-            A_ub.append(lp.A[i]); b_ub.append(lp.b[i])
-        elif lp.ops[i] == 1:
-            A_ub.append(-lp.A[i]); b_ub.append(-lp.b[i])
-        else:
-            A_eq.append(lp.A[i]); b_eq.append(lp.b[i])
-    ref = linprog(lp.c, A_ub=A_ub or None, b_ub=b_ub or None,
-                  A_eq=A_eq or None, b_eq=b_eq or None, method="highs")
+    ref = _scipy_ref(lp)
     assert r.status == ref.status
     if ref.status == 0:
+        assert r.z == pytest.approx(ref.fun, rel=1e-5)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_netlib_style_free_vars_parity(seed):
+    """Generated netlib-shaped LPs with unrestricted columns (the FR/MI
+    regime real netlib instances live in): dense and revised engines match
+    scipy/HiGHS with native (None, None) bounds."""
+    lp = generate_netlib_style(seed, m=20, n=48, n_free=6)
+    ref = _scipy_ref(lp)
+    assert ref.status == 0
+    for r in (solve_lp(lp), RevisedSimplexSolver().solve(lp)):
+        assert r.status == 0
         assert r.z == pytest.approx(ref.fun, rel=1e-5)
 
 
@@ -94,17 +214,7 @@ def test_netlib_style_large_parity_revised():
     scipy/HiGHS to 1e-4 relative (achieved ~1e-13 in practice)."""
     for seed, (m, n) in [(1, (120, 400))]:
         lp = generate_netlib_style(seed, m=m, n=n)
-        A_ub, b_ub, A_eq, b_eq = [], [], [], []
-        for i in range(lp.n_cons):
-            if lp.ops[i] == -1:
-                A_ub.append(lp.A[i]); b_ub.append(lp.b[i])
-            elif lp.ops[i] == 1:
-                A_ub.append(-lp.A[i]); b_ub.append(-lp.b[i])
-            else:
-                A_eq.append(lp.A[i]); b_eq.append(lp.b[i])
-        cs = lp.c * (-1 if lp.maximize else 1)
-        ref = linprog(cs, A_ub=A_ub or None, b_ub=b_ub or None,
-                      A_eq=A_eq or None, b_eq=b_eq or None, method="highs")
+        ref = _scipy_ref(lp)
         r = RevisedSimplexSolver().solve(lp)
         assert ref.status == 0 and r.status == 0
         zref = -ref.fun if lp.maximize else ref.fun
