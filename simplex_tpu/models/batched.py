@@ -207,6 +207,7 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         bland_after=int(bland_after),
         refactor_every=int(config.refactor_every or max(64, m_pad // 8)),
         backend=config.batched_backend,
+        devex=config.pivot_rule == "devex",
     )
     x, z_min = batched_ops.extract_solution_batch(T, basis, cb.n_vars)
     x = np.maximum(np.asarray(x, np.float64), 0.0)
@@ -405,6 +406,7 @@ def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
             *dev_args, tol=max(config.tol, 1e-6), max_iters=int(max_iters),
             bland_after=int(bland_after), refactor_every=refactor_every,
             backend=config.batched_backend,
+            devex=config.pivot_rule == "devex",
         )
         # Stage the NEXT batch while the current solve runs on device.
         try:

@@ -44,13 +44,13 @@ def _first_where(mask, idx, axis=-1):
     return jnp.min(jnp.where(mask, idx, _INT_MAX), axis=axis)
 
 
-def _make_kernel(tol: float):
+def _make_kernel(tol: float, devex: bool):
     # Mosaic cannot reshape i1 (bool) vectors, so every boolean mask below is
     # BORN at its final rank: reductions keep dims, rank-3 masks come from
     # rank-3 iota comparisons, and rank promotions route through int32.
     def kernel(T_ref, basis_ref, cm1_ref, cm2_ref, phase_ref,
-               status_ref, bland_ref, Tout_ref, basis_out_ref, s_ref, r_ref,
-               opt_ref, unb_ref, did_ref):
+               status_ref, bland_ref, w_ref, Tout_ref, basis_out_ref,
+               w_out_ref, s_ref, r_ref, opt_ref, unb_ref, did_ref):
         T = T_ref[...]                              # (bB, M, N)
         basis = basis_ref[...]                      # (bB, M-1)
         bB, M, N = T.shape
@@ -67,10 +67,17 @@ def _make_kernel(tol: float):
         rc = jnp.where(cm > 0.5, obj, jnp.inf)
         eligible = rc < -tol
         idx_n = lax.broadcasted_iota(jnp.int32, (bB, N), 1)
-        rc_min = jnp.min(rc, axis=-1, keepdims=True)
-        s_dantzig = _first_where(rc == rc_min, idx_n)            # (bB,) i32
+        if devex:
+            # Forrest-Goldfarb reference weights: argmax rc^2 / w.
+            w = w_ref[...]                                       # (bB, N)
+            score = jnp.where(eligible, (rc * rc) / w, -jnp.inf)
+            sc_max = jnp.max(score, axis=-1, keepdims=True)
+            s_price = _first_where(score == sc_max, idx_n)
+        else:
+            rc_min = jnp.min(rc, axis=-1, keepdims=True)
+            s_price = _first_where(rc == rc_min, idx_n)          # (bB,) i32
         s_bland = _first_where(eligible, idx_n)
-        s = jnp.where(use_bland, s_bland[:, None], s_dantzig[:, None])[:, 0]
+        s = jnp.where(use_bland, s_bland[:, None], s_price[:, None])[:, 0]
         s = jnp.clip(s, 0, N - 1)
         optimal = ~jnp.any(eligible, axis=-1, keepdims=True)     # (bB, 1)
 
@@ -84,11 +91,23 @@ def _make_kernel(tol: float):
                            jnp.inf)
         min_ratio = jnp.min(ratios, axis=-1, keepdims=True)      # (bB, 1)
         unbounded = (~optimal) & jnp.isinf(min_ratio)            # (bB, 1)
+        # Harris two-pass (largest pivot in the tol-relaxed window) for
+        # stability; Bland mode keeps the smallest-basis-index tie-break.
+        delta = tol * (1.0 + jnp.abs(rhs))
+        theta_relax = jnp.where(
+            positive, (rhs + delta) / jnp.where(positive, colc, 1.0),
+            jnp.inf)
+        theta_max = jnp.min(theta_relax, axis=-1, keepdims=True)
+        cand = positive & (ratios <= theta_max)
+        piv_big = jnp.max(jnp.where(cand, colc, -jnp.inf), axis=-1,
+                          keepdims=True)
+        idx_m = lax.broadcasted_iota(jnp.int32, (bB, M - 1), 1)
+        r_harris = _first_where(cand & (colc == piv_big), idx_m)
         near = ratios <= min_ratio + 64.0 * eps * (1.0 + jnp.abs(min_ratio))
         tie_key = jnp.where(near & positive, basis, _INT_MAX)
         tk_min = jnp.min(tie_key, axis=-1, keepdims=True)
-        idx_m = lax.broadcasted_iota(jnp.int32, (bB, M - 1), 1)
-        r = _first_where(tie_key == tk_min, idx_m)               # (bB,) i32
+        r_bland = _first_where(tie_key == tk_min, idx_m)         # (bB,) i32
+        r = jnp.where(use_bland[:, 0], r_bland, r_harris)
         r = jnp.clip(r, 0, M - 2)
 
         # ---- Masked rank-1 pivot update ------------------------------- #
@@ -103,6 +122,23 @@ def _make_kernel(tol: float):
         is_s3 = idx_n3 == s[:, None, None]                       # (bB, 1, N)
         prow = jnp.sum(T * is_r3.astype(dtype), axis=1)          # (bB, N)
         prow_n = prow / safe                                     # (bB, N)
+
+        if devex:
+            # Weight update from the normalized pivot row (alpha) — VMEM
+            # resident, no extra HBM pass beyond the (bB, N) weight I/O.
+            w_s = jnp.sum(jnp.where(idx_n == s[:, None], w, 0.0),
+                          axis=-1, keepdims=True)                # (bB, 1)
+            j_out = jnp.sum(jnp.where(hot_r, basis, 0), axis=-1,
+                            keepdims=True)                       # (bB, 1)
+            w_new = jnp.maximum(w, (prow_n * prow_n) * w_s)
+            w_new = jnp.where(idx_n == j_out, jnp.maximum(w_s, 1.0), w_new)
+            w_new = jnp.where(idx_n == s[:, None], 1.0, w_new)
+            w_new = jnp.where(
+                jnp.max(w_new, axis=-1, keepdims=True) > 1e8,
+                jnp.ones_like(w_new), w_new)
+            w_out_ref[...] = jnp.where(active, w_new, w)
+        else:
+            w_out_ref[...] = w_ref[...]
 
         T_new = T - col[:, :, None] * prow_n[:, None, :]
         T_new = jnp.where(is_r3, prow_n[:, None, :], T_new)
@@ -132,10 +168,11 @@ def _pick_block_b(B: int, M: int, N: int, vmem_budget: int = 6 << 20) -> int:
     return blk
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "interpret", "block_b"))
-def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
-                     tol: float = 1e-6, interpret: bool = False,
-                     block_b: int = 0):
+@functools.partial(jax.jit, static_argnames=("tol", "devex", "interpret",
+                                             "block_b"))
+def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland, weights,
+                     tol: float = 1e-6, devex: bool = False,
+                     interpret: bool = False, block_b: int = 0):
     """One fused select+pivot step for every instance in the batch.
 
     Args:
@@ -147,9 +184,12 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
       status:    (B,) int32 — RUNNING (-1) keeps an instance live.
       use_bland: (B,) int32 — nonzero switches that instance's pricing to
                  Bland's rule (stall-gated anti-cycling; scalars broadcast).
+      weights:   (B, N-1) per-instance Devex reference weights (threaded
+                 through the kernel like the Bland flags; ignored unless
+                 ``devex``).
 
-    Returns ``(T_new, basis_new, s, r, optimal, unbounded, did_pivot)``;
-    the flag vectors have shape (B,).
+    Returns ``(T_new, basis_new, weights_new, s, r, optimal, unbounded,
+    did_pivot)``; the flag vectors have shape (B,).
     """
     B, M, N = T.shape
     assert basis.shape == (B, M - 1), (basis.shape, T.shape)
@@ -170,16 +210,19 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
             bspec(1),             # phase
             bspec(1),             # status
             bspec(1),             # bland flags
+            bspec(N),             # devex weights (RHS lane padded)
         ],
         out_specs=[
             bspec(M, N),          # T_out
             bspec(M - 1),         # basis_out
+            bspec(N),             # weights_out
             bspec(1), bspec(1), bspec(1), bspec(1), bspec(1),
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((B, M, N), T.dtype),
         jax.ShapeDtypeStruct((B, M - 1), basis.dtype),
+        jax.ShapeDtypeStruct((B, N), T.dtype),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -188,13 +231,17 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland,
     ]
     bland_arr = jnp.broadcast_to(
         jnp.asarray(use_bland, jnp.int32).reshape(-1, 1), (B, 1))
-    T2, basis2, s, r, opt, unb, did = pl.pallas_call(
-        _make_kernel(tol),
+    # Pad the weight vector's RHS lane so the lane axis stays tile-aligned
+    # with the tableau's column axis.
+    w_in = jnp.concatenate(
+        [jnp.asarray(weights, T.dtype), jnp.ones((B, 1), T.dtype)], axis=1)
+    T2, basis2, w2, s, r, opt, unb, did = pl.pallas_call(
+        _make_kernel(tol, devex),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(T, basis,
       jnp.asarray(cm1, T.dtype), jnp.asarray(cm2, T.dtype),
-      phase.reshape(B, 1), status.reshape(B, 1), bland_arr)
-    return (T2, basis2, s[:, 0], r[:, 0], opt[:, 0] > 0, unb[:, 0] > 0,
-            did[:, 0] > 0)
+      phase.reshape(B, 1), status.reshape(B, 1), bland_arr, w_in)
+    return (T2, basis2, w2[:, :-1], s[:, 0], r[:, 0], opt[:, 0] > 0,
+            unb[:, 0] > 0, did[:, 0] > 0)

@@ -78,3 +78,26 @@ def test_solver_config_backend_plumbs_through():
 def test_fused_step_shapes(B, m, n):
     out_x, out_p = _solve_both(*_random_batch(4, B=B, m=m, n=n))
     _assert_match(out_x, out_p)
+
+
+def test_fused_step_matches_xla_devex():
+    """Devex weights thread identically through both backends (VERDICT r1
+    next-round #4): same pivot sequence, same statuses, same tableaus."""
+    ops = np.array([-1, -1, -1, -1, 1, 1, 0, 0, -1])
+    out_x, out_p = _solve_both(*_random_batch(5, ops=ops), devex=True)
+    _assert_match(out_x, out_p)
+
+
+def test_devex_reduces_pivots_batched():
+    """Devex pricing must not exceed Dantzig's pivot counts on a non-trivial
+    batch (it typically cuts them substantially on larger LPs)."""
+    c, A, b, ops = _random_batch(6, B=8, m=24, n=40)
+    cb = compile_batch_uniform(c, A, b, ops, maximize=True)
+    args = [jnp.asarray(x) for x in
+            (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
+             cb.obj_row_p1, cb.obj_row_p2, cb.need_p1)]
+    out_dv = bops.solve_tableau_batch(*args, backend="xla", devex=True)
+    out_dz = bops.solve_tableau_batch(*args, backend="xla", devex=False)
+    assert (np.asarray(out_dv[2]) == 0).all()
+    assert (np.asarray(out_dz[2]) == 0).all()
+    assert np.asarray(out_dv[4]).sum() <= np.asarray(out_dz[4]).sum()
