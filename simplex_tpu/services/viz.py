@@ -10,8 +10,10 @@ Replaces the reference's two visualization engines (SURVEY.md §2.2):
   ``docs/user_guide.md:192-219``: 2D for 2 vars, 3D for 3, tables only for
   >=4).  plotly is not available here, so the interactive view is a
   self-contained vanilla-JS + SVG widget: feasible-region polygon,
-  constraint lines, vertex path of the simplex iterations, and a slider
-  stepping through them.  No external JS dependencies.
+  constraint lines, vertex path of the simplex iterations with an
+  iteration slider, and — matching gilp's second control — an
+  objective-level slider sweeping an isoprofit line ``c.x = level`` over
+  the objective's feasible range.  No external JS dependencies.
 """
 from __future__ import annotations
 
@@ -138,6 +140,12 @@ _GEO2D_TEMPLATE = """
     <input type="range" id="stx-slider" min="0" value="0" style="width:60%">
     <span id="stx-label" style="font-family:monospace"></span>
   </div>
+  <div style="margin-top:4px">
+    <input type="range" id="stx-zslider" min="0" max="100" value="0"
+           style="width:60%">
+    <span id="stx-zlabel" style="font-family:monospace;color:#0a7">
+    </span>
+  </div>
 </div>
 <script>
 (function() {
@@ -177,6 +185,30 @@ _GEO2D_TEMPLATE = """
     el('line', {x1: sx(p1[0]), y1: sy(p1[1]), x2: sx(p2[0]), y2: sy(p2[1]),
                 stroke: '#c08', 'stroke-dasharray': '5,4', 'stroke-width': 1});
   }
+  // objective-level slider: isoprofit line c.x = level swept over the
+  // objective's range on the feasible set (gilp's second slider,
+  // reference docs/user_guide.md:192-219).
+  const isoG = el('g', {});
+  const zslider = document.getElementById('stx-zslider');
+  const zlabel = document.getElementById('stx-zlabel');
+  const zpts = (D.vertices.length ? D.vertices : D.path);
+  const zvals = zpts.map(v => D.objective[0]*v[0] + D.objective[1]*v[1]);
+  const zmin = Math.min.apply(null, zvals), zmax = Math.max.apply(null, zvals);
+  function drawIso() {
+    while (isoG.firstChild) isoG.removeChild(isoG.firstChild);
+    if (!(zmax > zmin)) { zlabel.textContent = ''; return; }
+    const lvl = zmin + (zmax - zmin) * (+zslider.value) / 100;
+    const [a1, a2] = D.objective;
+    let p1, p2;
+    if (Math.abs(a2) > 1e-12) { p1 = [x0, (lvl - a1*x0)/a2]; p2 = [x1, (lvl - a1*x1)/a2]; }
+    else if (Math.abs(a1) > 1e-12) { p1 = [lvl/a1, y0]; p2 = [lvl/a1, y1]; }
+    else { zlabel.textContent = ''; return; }
+    el('line', {x1: sx(p1[0]), y1: sy(p1[1]), x2: sx(p2[0]), y2: sy(p2[1]),
+                stroke: '#0a7', 'stroke-width': 2, 'stroke-dasharray': '8,5'},
+       isoG);
+    zlabel.textContent = ' Z = ' + lvl.toFixed(4);
+  }
+  zslider.addEventListener('input', drawIso);
   // simplex vertex path
   const pathG = el('g', {});
   const marker = el('circle', {r: 7, fill: '#d22', stroke: '#fff',
@@ -199,6 +231,7 @@ _GEO2D_TEMPLATE = """
   }
   slider.addEventListener('input', () => draw(+slider.value));
   draw(0);
+  drawIso();
 })();
 </script>
 """

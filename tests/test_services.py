@@ -142,6 +142,9 @@ def test_geometric_view_contains_polygon_and_slider():
     html = viz_svc.geometric_view_2d(lp.A, lp.b, lp.ops, lp.c, lp.maximize,
                                      [[0, 0], [2, 6]], lp.variables)
     assert "stx-svg" in html and "stx-slider" in html
+    # gilp parity: BOTH sliders — iteration AND objective level (isoprofit
+    # line), reference docs/user_guide.md:192-219.
+    assert "stx-zslider" in html and "drawIso" in html
     payload = json.loads(html.split("const D = ", 1)[1].split(";\n", 1)[0])
     assert len(payload["vertices"]) >= 3          # feasible-region polygon
     assert payload["path"] == [[0, 0], [2, 6]]
