@@ -95,27 +95,95 @@ def bench_pivot_update(size: int, iters: int):
     float(stream(T))
     dt_stream = (time.perf_counter() - t0) / iters
 
+    pallas_gbps = _pallas_stream_gbps(T, iters)
+
     bytes_moved = 2.0 * (m + 1) * (n + 1) * 4  # read + write, f32
     gbps = bytes_moved / dt / 1e9
     stream_gbps = bytes_moved / dt_stream / 1e9
-    # vs_baseline = fraction of the chip's ACHIEVABLE streaming bandwidth
-    # (STREAM-style empirical roofline, measured above); the paper-peak
-    # fraction is also reported — no memcpy reaches paper peak, so the
-    # empirical ceiling is the honest speed-of-light denominator.
+    # Roofline denominator: the chip's ACHIEVABLE streaming bandwidth, as
+    # the MAX of two independent measurements of a pure read+write pass
+    # over the same array — one XLA-compiled, one a hand-written Pallas
+    # copy kernel that bypasses XLA's fusion/layout choices entirely.  Two
+    # compilers agreeing on the ceiling is the evidence that it is the
+    # hardware's limit, not an XLA artifact; no memcpy on any device
+    # reaches paper peak (vendor STREAM numbers on v5e land in the same
+    # 500-600 GB/s band).  The paper-peak fraction is still reported.
+    ceiling = max(stream_gbps, pallas_gbps or 0.0)
     return {
         "metric": f"pivots_per_sec_{size}x{size}_f32",
         "value": round(1.0 / dt, 3),
         "unit": "pivots/s/chip",
-        "vs_baseline": round(gbps / stream_gbps, 4),
+        "vs_baseline": round(gbps / ceiling, 4),
         "detail": {
             "per_pivot_ms": round(dt * 1e3, 3),
             "achieved_GBps": round(gbps, 1),
             "hbm_peak_GBps": _hbm_peak(dev),
             "frac_of_hbm_peak": round(gbps / _hbm_peak(dev), 4),
             "empirical_stream_GBps": round(stream_gbps, 1),
+            "pallas_stream_GBps": (None if pallas_gbps is None
+                                   else round(pallas_gbps, 1)),
+            "ceiling_GBps": round(ceiling, 1),
             "device": str(getattr(dev, "device_kind", dev)),
         },
     }
+
+
+def _pallas_stream_gbps(T, iters: int):
+    """XLA-independent streaming ceiling: a hand-written Pallas copy kernel.
+
+    Reads every block of ``T`` into VMEM and writes it back out (one HBM
+    read + one write per element), chained ``iters`` times through the same
+    scan harness as the pivot benchmark.  Mosaic schedules the HBM<->VMEM
+    DMAs itself, so this measurement shares nothing with XLA's fusion or
+    layout pipeline — if it lands at the same GB/s as the XLA stream pass,
+    the ceiling is the hardware's, not the compiler's.  Returns None where
+    Pallas TPU lowering is unavailable (CPU CI).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    try:
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        # Mosaic wants (8, 128)-aligned blocks; the tableau is (size+1)^2,
+        # so measure the copy ceiling on the tile-rounded shape (within
+        # ~1.3% of the same footprint — it is a ceiling measurement of the
+        # HARDWARE, not of this exact array).
+        M = ((T.shape[0] + 255) // 256) * 256
+        N = ((T.shape[1] + 127) // 128) * 128
+        T = jnp.zeros((M, N), T.dtype) + 0.5
+        blk = 256
+
+        def copy_kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...] + 1e-7
+
+        copy = pl.pallas_call(
+            copy_kernel,
+            grid=(M // blk,),
+            in_specs=[pl.BlockSpec((blk, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((blk, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), T.dtype),
+        )
+
+        @jax.jit
+        def run(T):
+            def body(T, _):
+                return copy(T), None
+            T, _ = lax.scan(body, T, None, length=iters)
+            return jnp.sum(T)
+
+        float(run(T))
+        t0 = time.perf_counter()
+        float(run(T))
+        dt = (time.perf_counter() - t0) / iters
+        return 2.0 * M * N * 4 / dt / 1e9
+    except Exception as e:
+        sys.stderr.write(f"pallas stream unavailable: {e}\n")
+        return None
 
 
 def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50):
@@ -241,8 +309,10 @@ def bench_dense_solve(size: int = 2048):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", type=int, default=8192,
-                   help="tableau dimension for the pivot-update benchmark")
+    p.add_argument("--size", type=int, default=10240,
+                   help="tableau dimension for the pivot-update benchmark "
+                        "(default: the 10k x 10k shape BASELINE.md names, "
+                        "tile-aligned)")
     p.add_argument("--iters", type=int, default=64)
     p.add_argument("--batch", action="store_true",
                    help="run the batched-solve benchmark instead")
@@ -260,7 +330,7 @@ def main():
         elif args.batch:
             out = bench_batched_solve(B=args.batch_size or 1024)
         elif args.solve_dense:
-            out = bench_dense_solve(args.size if args.size != 8192 else 2048)
+            out = bench_dense_solve(args.size if args.size != 10240 else 2048)
         else:
             out = bench_pivot_update(args.size, args.iters)
     except Exception as e:  # fall back to a smaller shape on OOM etc.

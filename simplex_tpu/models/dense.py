@@ -23,6 +23,7 @@ from ..config import SolverConfig, DEFAULT_CONFIG
 from ..core.problem import (
     LinearProgram,
     StandardForm,
+    STATUS_ITERATION_LIMIT,
     STATUS_MESSAGES,
     STATUS_OPTIMAL,
     compile_standard_form,
@@ -247,10 +248,14 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
             nit += 1
             since += 1
             obj = -T[-1, -1]
-            if obj < best - tol * (1.0 + abs(best)):
-                best, no_imp = obj, 0
+            # NaN-safe stall gate: best starts at +inf, and inf - inf is
+            # NaN (which compares False) — track the running minimum
+            # unconditionally, like the device kernels do.
+            if not np.isfinite(best) or obj < best - tol * (1.0 + abs(best)):
+                no_imp = 0
             else:
                 no_imp += 1
+            best = min(best, obj)
             if since >= 256:
                 refactor(obj_raw)
                 since = 0
@@ -435,6 +440,8 @@ def solve_lp(lp: LinearProgram,
         status = int(status)
         basis_np = np.asarray(basis)
         nit += int(iters)
+        if status == 1 and int(iters) < chunk:
+            break   # early numeric-stall exit — escalated to f64 below
         if status != 1 or nit >= config.max_iters:
             break
         if config.time_limit is not None and \
@@ -457,6 +464,10 @@ def solve_lp(lp: LinearProgram,
         if not _certify_optimal_basis(sf, lp, basis_np):
             escalated = True
     elif status in (2, 3):
+        escalated = True
+    elif status == 1 and nit < config.max_iters:
+        # The loop exited on the numeric-stall cutoff, not the user's
+        # iteration cap: f32 drift is faking eligible pivots.
         escalated = True
     if escalated:
         sf64 = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,

@@ -43,7 +43,13 @@ from ..core.problem import (
     merge_free_solution,
     split_free_variables,
 )
-from .dense import SimplexResult, _refine_on_host
+from .dense import (
+    SimplexResult,
+    _certify_optimal_basis,
+    _host_simplex_f64,
+    _refine_on_host,
+    _sensitivity_on_host,
+)
 
 RUNNING = -1
 _INT_MAX = jnp.iinfo(jnp.int32).max
@@ -78,9 +84,15 @@ def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
     terms), typically repaid severalfold in saved iterations.
     """
 
+    # f32 numeric-stall cutoff (see ops/tableau.py): exit after a full
+    # Bland budget of consecutive non-improving pivots; the driver then
+    # escalates to the host f64 engine instead of burning the whole cap.
+    stall_limit = bland_after + 1024
+
     def cond(state):
-        _B, _x, _bas, iters, status, _since, _w, _bo, _ni = state
-        return (status == RUNNING) & (iters < max_iters)
+        _B, _x, _bas, iters, status, _since, _w, _bo, no_imp = state
+        return ((status == RUNNING) & (iters < max_iters)
+                & (no_imp < stall_limit))
 
     def body(state):
         B_inv, x_B, basis, iters, status, since, w, best_obj, no_imp = state
@@ -132,7 +144,7 @@ def _run_phase_revised(A_std, b, cost, col_mask, art_mask_ext,
         stop = optimal | unbounded
         new_status = jnp.where(
             stop, jnp.where(optimal, STATUS_OPTIMAL, STATUS_UNBOUNDED),
-            RUNNING)
+            RUNNING).astype(jnp.int32)
 
         def do_pivot(args):
             B_inv, x_B, basis, w = args
@@ -181,13 +193,22 @@ class RevisedSimplexSolver:
     def __init__(self, config: SolverConfig = DEFAULT_CONFIG):
         self.config = config
 
-    def solve(self, lp: LinearProgram) -> SimplexResult:
+    def solve(self, lp: LinearProgram,
+              warm_basis: Optional[np.ndarray] = None,
+              _tol_scale: float = 1.0) -> SimplexResult:
+        """Solve one LP.  ``warm_basis`` (column indices from a previous
+        ``SimplexResult.basis``) skips phase 1 entirely when the saved
+        basis is still primal-feasible for this data — the same
+        checkpoint/resume capability the dense engine has (stale or
+        infeasible bases fall back to a cold start transparently)."""
         t0 = time.perf_counter()
         if lp.has_free:
             lp2, fidx = split_free_variables(lp)
-            res = self.solve(lp2)
+            res = self.solve(lp2, warm_basis, _tol_scale)
             if res.x is not None:
                 res.x = merge_free_solution(res.x, lp.n_vars, fidx)
+            if res.reduced_costs is not None:
+                res.reduced_costs = res.reduced_costs[: lp.n_vars]
             return res
         if lp.n_cons == 0:
             from .dense import solve_lp
@@ -209,13 +230,21 @@ class RevisedSimplexSolver:
         cost2 = jnp.asarray(sf.obj_row_p2[:n_pad + 1], dtype)
 
         tol = max(self.config.tol, 1e-6 if dtype == np.float32 else 1e-9)
+        tol *= _tol_scale
         max_iters = min(self.config.max_iters, 50 * (m_pad + n_pad))
         bland_after = min(self.config.bland_after, max_iters // 2)
+
+        need_phase1 = sf.need_phase1
+        if warm_basis is not None:
+            wb = self._check_warm_basis(sf, warm_basis)
+            if wb is not None:
+                basis = jnp.asarray(wb)
+                need_phase1 = False
 
         B_inv, x_B = _refactor(A_std, b, basis)
         iters = jnp.int32(0)
 
-        if sf.need_phase1:
+        if need_phase1:
             B_inv, x_B, basis, iters, status, obj1 = _run_phase_revised(
                 A_std, b, cost1, col_p1, art_ext, B_inv, x_B, basis, iters,
                 jnp.bool_(False), tol=tol, max_iters=max_iters,
@@ -223,9 +252,11 @@ class RevisedSimplexSolver:
                 devex=self.config.pivot_rule == "devex")
             b_scale = 1.0 + float(np.max(np.abs(sf.tableau[:m_pad, n_pad])))
             if int(status) != STATUS_OPTIMAL:
-                return self._fail(int(status), int(iters), t0)
+                return self._finish_failed(int(status), int(iters), lp, sf,
+                                           t0)
             if float(obj1) > 1e-5 * b_scale:
-                return self._fail(STATUS_INFEASIBLE, int(iters), t0)
+                return self._finish_failed(STATUS_INFEASIBLE, int(iters),
+                                           lp, sf, t0)
 
         B_inv, x_B, basis, iters, status, obj = _run_phase_revised(
             A_std, b, cost2, col_p2, art_ext, B_inv, x_B, basis, iters,
@@ -234,29 +265,104 @@ class RevisedSimplexSolver:
             devex=self.config.pivot_rule == "devex")
         status = int(status)
         nit = int(iters)
+        basis_np = np.asarray(basis)
+
+        # f64 verdict certification + escalation — the same safety net the
+        # dense engine has (exactly-dependent columns can defeat any f32
+        # loop; see models/dense._certify_optimal_basis).
+        escalated = False
+        if status == STATUS_OPTIMAL:
+            escalated = not _certify_optimal_basis(sf, lp, basis_np)
+        elif status in (STATUS_INFEASIBLE, STATUS_UNBOUNDED):
+            escalated = True
+        elif status == STATUS_ITERATION_LIMIT and \
+                nit < self.config.max_iters:
+            # Numeric-stall exit (f32 drift faking eligible pivots), not
+            # the user's cap.  A stall almost always means the optimality
+            # tolerance sits below the f32 pricing noise at this problem's
+            # scale — retry once with 10x looser device tol (the f64
+            # certification + refinement still deliver the exact optimum),
+            # and only then fall back to the slow host f64 engine.
+            if _tol_scale == 1.0:
+                res = self.solve(lp, warm_basis, _tol_scale=10.0)
+                res.nit += nit
+                res.solve_time = time.perf_counter() - t0
+                return res
+            escalated = True
+        if escalated:
+            status, basis_np, nit2 = _host_simplex_f64(sf)
+            nit += nit2
         if status != STATUS_OPTIMAL:
             return self._fail(status, nit, t0)
 
-        basis_np = np.asarray(basis)
-        x_B_np = np.asarray(x_B, np.float64)
-        x = np.zeros((sf.n_pad,))
-        x[basis_np] = x_B_np
-        x = x[: lp.n_vars]
         c_min = -lp.c if lp.maximize else lp.c
+        if escalated or self.config.refine:
+            x_full = _refine_on_host(sf, lp, basis_np)
+            if x_full is None or np.any(x_full[: sf.n_cols] < -1e-7):
+                if escalated:
+                    return self._fail(STATUS_ITERATION_LIMIT, nit, t0)
+                x_full = None
+        else:
+            x_full = None
+        if x_full is not None:
+            x = x_full[: lp.n_vars]
+        else:
+            x_B_np = np.asarray(x_B, np.float64)
+            x = np.zeros((sf.n_pad,))
+            x[np.asarray(basis)] = x_B_np
+            x = x[: lp.n_vars]
         fun = float(c_min @ x)
 
-        if self.config.refine:
-            x_full = _refine_on_host(sf, lp, basis_np)
-            if x_full is not None and np.all(x_full[: sf.n_cols] >= -1e-7):
-                x = x_full[: lp.n_vars]
-                fun = float(c_min @ x)
-
+        duals, reduced = _sensitivity_on_host(sf, lp, basis_np)
         z_user = (-fun if lp.maximize else fun) + 0.0
         return SimplexResult(
             x=np.maximum(x, 0.0), fun=fun, status=0, success=True,
             message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=nit,
             basis=basis_np, z=z_user,
             solve_time=time.perf_counter() - t0,
+            duals=duals, reduced_costs=reduced,
+        )
+
+    @staticmethod
+    def _check_warm_basis(sf, warm_basis) -> Optional[np.ndarray]:
+        """Validate a saved basis: right shape, no artificials, invertible,
+        primal-feasible for the new data.  None → cold start."""
+        basis = np.asarray(warm_basis, dtype=np.int32).reshape(-1)
+        if basis.shape[0] != sf.m_pad or np.any(basis < 0) or \
+                np.any(basis >= sf.n_pad):
+            return None
+        art = sf.col_mask_p1 & ~sf.col_mask_p2
+        if np.any(art[basis]):
+            return None
+        rows = sf.tableau.astype(np.float64)[: sf.m_pad]
+        try:
+            x_B = np.linalg.solve(rows[:, basis], rows[:, sf.n_pad])
+        except np.linalg.LinAlgError:
+            return None
+        if not np.all(np.isfinite(x_B)) or np.any(x_B < -1e-9):
+            return None
+        return basis
+
+    def _finish_failed(self, status: int, nit: int, lp, sf,
+                       t0: float) -> SimplexResult:
+        """Phase-1 failure: certify infeasibility in f64 before reporting."""
+        status2, basis2, nit2 = _host_simplex_f64(sf)
+        nit += nit2
+        if status2 != STATUS_OPTIMAL:
+            return self._fail(status2, nit, t0)
+        x_full = _refine_on_host(sf, lp, basis2)
+        if x_full is None:
+            return self._fail(status, nit, t0)
+        c_min = -lp.c if lp.maximize else lp.c
+        x = x_full[: lp.n_vars]
+        fun = float(c_min @ x)
+        duals, reduced = _sensitivity_on_host(sf, lp, basis2)
+        z_user = (-fun if lp.maximize else fun) + 0.0
+        return SimplexResult(
+            x=np.maximum(x, 0.0), fun=fun, status=0, success=True,
+            message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=nit,
+            basis=basis2, z=z_user, solve_time=time.perf_counter() - t0,
+            duals=duals, reduced_costs=reduced,
         )
 
     @staticmethod

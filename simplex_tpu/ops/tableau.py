@@ -171,9 +171,17 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
     loop refactorizes and re-tests ("confirm before exit").
     """
 
+    # Numeric-stall cutoff: Bland's rule guarantees termination in exact
+    # arithmetic, but f32 drift can fake eligible columns forever.  After
+    # this many consecutive non-improving pivots (Bland engaged at
+    # ``bland_after``, then a full anti-cycling budget on top) the loop
+    # exits as ITERATION_LIMIT and the driver escalates to host f64.
+    stall_limit = bland_after + 1024
+
     def cond(state):
-        _, _, iters, status, _, _, _, _, _ = state
-        return (status == RUNNING) & (iters < max_iters)
+        _, _, iters, status, _, _, _, _, no_imp = state
+        return ((status == RUNNING) & (iters < max_iters)
+                & (no_imp < stall_limit))
 
     def body(state):
         T, basis, iters, _, since_ref, stall, best_obj, w, no_imp = state

@@ -114,3 +114,49 @@ def test_pdhg_reports_residuals():
     assert np.all(res.primal_residual >= 0)
     # min with c >= 0 and <= rows: optimum is x=0.
     assert np.allclose(res.objective, 0.0, atol=1e-3)
+
+
+def test_revised_warm_start_skips_phase1():
+    """A saved optimal basis warm-starts the revised engine (checkpoint /
+    resume parity with the dense engine): far fewer iterations, same
+    optimum, and stale bases fall back to a cold start transparently."""
+    from simplex_tpu.utils.mps import generate_netlib_style
+
+    lp = generate_netlib_style(11, m=30, n=80)
+    solver = RevisedSimplexSolver()
+    cold = solver.solve(lp)
+    assert cold.status == 0
+    warm = solver.solve(lp, warm_basis=cold.basis)
+    assert warm.status == 0
+    assert warm.z == pytest.approx(cold.z, rel=1e-9)
+    assert warm.nit <= max(cold.nit // 4, 1)
+    # Stale basis (wrong shape) → cold start, still correct.
+    stale = solver.solve(lp, warm_basis=np.arange(3))
+    assert stale.status == 0 and stale.z == pytest.approx(cold.z, rel=1e-9)
+
+
+def test_revised_sensitivity_matches_dense():
+    from simplex_tpu.utils.mps import generate_netlib_style
+
+    lp = generate_netlib_style(12, m=15, n=40)
+    r_d = solve_lp(lp)
+    r_r = RevisedSimplexSolver().solve(lp)
+    assert r_d.status == r_r.status == 0
+    assert r_r.duals is not None
+    np.testing.assert_allclose(r_r.duals, r_d.duals, atol=1e-6)
+    np.testing.assert_allclose(r_r.reduced_costs, r_d.reduced_costs,
+                               atol=1e-6)
+
+
+def test_revised_large_netlib_shape():
+    """Netlib-class size (n >> m, sparse): 400 rows x 1200 cols through the
+    revised engine with 1e-6 objective parity vs scipy/HiGHS."""
+    from simplex_tpu.utils.mps import generate_netlib_style
+
+    lp = generate_netlib_style(13, m=400, n=1200, density=0.03)
+    ref = _scipy_ref(lp)
+    assert ref.status == 0
+    res = RevisedSimplexSolver().solve(lp)
+    assert res.status == 0
+    zref = -ref.fun if lp.maximize else ref.fun
+    assert abs(res.z - zref) < 1e-6 * (1 + abs(zref))
