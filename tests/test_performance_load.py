@@ -112,6 +112,65 @@ def test_error_rate_under_mixed_load(app):
     assert errors == 0
 
 
+def test_sustained_load_p95(app):
+    """Sustained-load tier (reference test_performance_load.py:225-300,
+    CI-scaled: 12 s at ~2 users/s instead of 120 s): error rate < 20 %
+    and p95 latency < 5 s."""
+    _solve_roundtrip(app)              # warm the jit cache
+    results = []
+    lock = threading.Lock()
+    threads = []
+
+    def user():
+        out = _solve_roundtrip(app)
+        with lock:
+            results.append(out)
+
+    t_end = time.perf_counter() + 12.0
+    while time.perf_counter() < t_end:
+        t = threading.Thread(target=user)
+        t.start()
+        threads.append(t)
+        time.sleep(0.5)                # ~2 users/s
+    for t in threads:
+        t.join()
+
+    assert len(results) >= 20
+    failures = sum(1 for ok, _ in results if not ok)
+    assert failures / len(results) < 0.20
+    lat = sorted(dt for _, dt in results)
+    p95 = lat[int(len(lat) * 0.95) - 1]
+    assert p95 < 5.0
+
+
+def test_simultaneous_users_success_rate(app):
+    """30 simultaneous threads (reference :149-223): success rate >= 80 %
+    and bounded memory growth."""
+    psutil = pytest.importorskip("psutil")
+    proc = psutil.Process()
+    _solve_roundtrip(app)
+    rss0 = proc.memory_info().rss
+    results = []
+    lock = threading.Lock()
+
+    def user():
+        out = _solve_roundtrip(app)
+        with lock:
+            results.append(out)
+
+    threads = [threading.Thread(target=user) for _ in range(30)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(results) == 30
+    success = sum(1 for ok, _ in results if ok)
+    assert success / 30 >= 0.80
+    growth = proc.memory_info().rss - rss0
+    assert growth < 500 * 1024 * 1024
+
+
 def test_batched_throughput_smoke():
     """Batched-engine throughput sanity: 256 LPs in one device call should
     beat 256 sequential web solves by a wide margin (the TPU-native
