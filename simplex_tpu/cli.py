@@ -7,6 +7,7 @@ without the required wrapper argument and swallows the TypeError
 
     python -m simplex_tpu.cli interactive          # prompt-driven definition
     python -m simplex_tpu.cli solve problem.json   # solve a saved problem
+    python -m simplex_tpu.cli solve afiro.mps      # solve a netlib MPS file
     python -m simplex_tpu.cli solve-latest         # solve last saved problem
     python -m simplex_tpu.cli export-pdf           # PDF of latest solution
     python -m simplex_tpu.cli serve [--port 5000]  # web UI
@@ -86,7 +87,47 @@ def _solve_wrapper(wrapper: Dict) -> int:
     return 0
 
 
+def _solve_mps(args) -> int:
+    """Netlib-style MPS solve: full bound vocabulary (FR/MI/negative LO),
+    engine selectable — the direct-engine path, since the report schema's
+    problem dict cannot express free variables."""
+    from .utils.mps import load_mps
+
+    try:
+        lp = load_mps(args.file)
+    except (IOError, ValueError) as e:
+        print(f"No se pudo leer {args.file}: {e}")
+        return 1
+    engine = getattr(args, "engine", "auto")
+    if engine == "auto":
+        # n >> m (netlib-shaped): revised simplex; otherwise dense tableau.
+        engine = "revised" if lp.n_vars >= 2 * lp.n_cons else "dense"
+    if engine == "revised":
+        from .models.revised import RevisedSimplexSolver
+        res = RevisedSimplexSolver(SolverConfig.from_env()).solve(lp)
+    elif engine == "host":
+        from .models.host import HostSimplexSolver
+        res = HostSimplexSolver(SolverConfig.from_env()).solve(lp)
+    else:
+        from .models.dense import solve_lp
+        res = solve_lp(lp, SolverConfig.from_env())
+
+    print(f"\n=== Resultado ({args.file}, motor {engine}) ===")
+    print(f"Estado: {res.status} — {res.message}")
+    print(f"Iteraciones: {res.nit}   tiempo: {res.solve_time:.3f}s")
+    if res.success:
+        print(f"Z = {res.z:.10g}")
+        head = min(lp.n_vars, 12)
+        for v, val in zip(lp.variables[:head], res.x[:head]):
+            print(f"  {v} = {val:.6g}")
+        if lp.n_vars > head:
+            print(f"  ... ({lp.n_vars - head} variables más)")
+    return 0 if res.success else 1
+
+
 def cmd_solve(args) -> int:
+    if args.file.lower().endswith((".mps", ".sif")):
+        return _solve_mps(args)
     try:
         with open(args.file, "r", encoding="utf-8") as f:
             wrapper = json.load(f)
@@ -132,8 +173,12 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command")
 
     sub.add_parser("interactive", help="definición interactiva + solve")
-    p_solve = sub.add_parser("solve", help="resolver un problema JSON")
+    p_solve = sub.add_parser("solve", help="resolver un problema JSON o MPS")
     p_solve.add_argument("file")
+    p_solve.add_argument("--engine", default="auto",
+                         choices=["auto", "dense", "revised", "host"],
+                         help="motor para archivos MPS (auto: revised si "
+                              "n >= 2m)")
     sub.add_parser("solve-latest", help="resolver el último problema guardado")
     sub.add_parser("export-pdf", help="exportar la última solución a PDF")
     p_serve = sub.add_parser("serve", help="servidor web")

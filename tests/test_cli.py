@@ -112,3 +112,50 @@ def test_cli_solve_latest_and_export_pdf(tmp_path, storage, capsys):
     assert cli.main(["export-pdf"]) == 0
     out = capsys.readouterr().out
     assert "reporte_solucion_1.pdf" in out
+
+
+def test_cli_solve_mps(tmp_path, capsys):
+    """CLI solves a netlib-style MPS file with free variables end-to-end."""
+    from simplex_tpu.cli import main
+
+    mps = tmp_path / "free.mps"
+    mps.write_text("""NAME FREE1
+ROWS
+ N  COST
+ L  CAP
+ E  BAL
+COLUMNS
+    X1        COST         1.0   CAP          1.0
+    X2        COST         2.0   BAL          1.0
+    X2        CAP          1.0
+    X3        COST        -1.0   BAL         -1.0
+RHS
+    RHS       CAP          8.0   BAL          1.0
+BOUNDS
+ FR BND       X3
+ENDATA
+""")
+    rc = main(["solve", str(mps)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Z = " in out and "Estado: 0" in out
+
+
+def test_cli_solve_mps_engine_choice(tmp_path, capsys):
+    from simplex_tpu.cli import main
+
+    mps = tmp_path / "t.mps"
+    mps.write_text("""NAME T
+ROWS
+ N  OBJ
+ L  R1
+COLUMNS
+    X1        OBJ         -1.0   R1           1.0
+RHS
+    RHS       R1           5.0
+ENDATA
+""")
+    for engine in ("dense", "revised"):
+        rc = main(["solve", str(mps), "--engine", engine])
+        out = capsys.readouterr().out
+        assert rc == 0 and "Z = -5" in out, (engine, out)
