@@ -151,10 +151,12 @@ def _pallas_stream_gbps(T, iters: int):
         # so measure the copy ceiling on the tile-rounded shape (within
         # ~1.3% of the same footprint — it is a ceiling measurement of the
         # HARDWARE, not of this exact array).
-        M = ((T.shape[0] + 255) // 256) * 256
+        # Block rows sized so in+out blocks (double-buffered) fit the
+        # ~16 MB scoped-VMEM budget at 10k-wide rows.
+        M = ((T.shape[0] + 63) // 64) * 64
         N = ((T.shape[1] + 127) // 128) * 128
         T = jnp.zeros((M, N), T.dtype) + 0.5
-        blk = 256
+        blk = 64
 
         def copy_kernel(x_ref, o_ref):
             o_ref[...] = x_ref[...] + 1e-7

@@ -129,3 +129,35 @@ class SolverConfig:
 
 
 DEFAULT_CONFIG = SolverConfig()
+
+_warned_x64 = False
+
+
+def resolve_dtype(dtype_str: str):
+    """``np.dtype`` for a config dtype, with an x64-honesty check.
+
+    JAX silently downcasts float64 arrays to float32 unless
+    ``jax_enable_x64`` is on — a request for a float64 device solve would
+    otherwise quietly run f32 (results stay exact regardless: every
+    verdict is certified/refined on host in f64).  Warn once so the user
+    knows what the device is actually executing.
+    """
+    import numpy as np
+
+    dt = np.dtype(dtype_str)
+    if dt == np.float64:
+        global _warned_x64
+        import jax
+
+        if not jax.config.jax_enable_x64 and not _warned_x64:
+            _warned_x64 = True
+            import warnings
+
+            warnings.warn(
+                "dtype=float64 sin jax_enable_x64: el dispositivo ejecuta "
+                "float32 (la certificación/refinado f64 en host mantiene "
+                "la exactitud). Para f64 real en dispositivo: "
+                "JAX_ENABLE_X64=1 o jax.config.update('jax_enable_x64', "
+                "True) antes de crear arrays.", RuntimeWarning,
+                stacklevel=3)
+    return dt

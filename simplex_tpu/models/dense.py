@@ -19,7 +19,7 @@ from typing import Dict, List, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import SolverConfig, DEFAULT_CONFIG
+from ..config import SolverConfig, DEFAULT_CONFIG, resolve_dtype
 from ..core.problem import (
     LinearProgram,
     StandardForm,
@@ -339,7 +339,7 @@ def solve_lp(lp: LinearProgram,
     back to a cold start transparently.
     """
     t0 = time.perf_counter()
-    dtype = np.dtype(config.dtype)
+    dtype = resolve_dtype(config.dtype)
 
     if lp.has_free:
         # Netlib-class LPs have unrestricted variables (MPS FR/MI/negative
@@ -534,7 +534,7 @@ def reoptimize(lp: LinearProgram, basis: np.ndarray,
     the new costs).
     """
     t0 = time.perf_counter()
-    dtype = np.dtype(config.dtype)
+    dtype = resolve_dtype(config.dtype)
     if lp.has_free:
         lp2, fidx = split_free_variables(lp)
         res = reoptimize(lp2, basis, config)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import SolverConfig, DEFAULT_CONFIG
+from ..config import SolverConfig, DEFAULT_CONFIG, resolve_dtype
 from ..core.problem import (
     LinearProgram,
     STATUS_INFEASIBLE,
@@ -214,7 +214,7 @@ class RevisedSimplexSolver:
             from .dense import solve_lp
             return solve_lp(lp, self.config)
 
-        dtype = np.dtype(self.config.dtype)
+        dtype = resolve_dtype(self.config.dtype)
         sf = compile_standard_form(lp, dtype=np.float64)
         m_pad, n_pad = sf.m_pad, sf.n_pad
 
