@@ -586,14 +586,12 @@ def reoptimize(lp: LinearProgram, basis: np.ndarray,
     status = int(status)
     nit = int(iters)
     basis_np = np.asarray(basis_d)
-    if status != STATUS_OPTIMAL:
-        if status == STATUS_ITERATION_LIMIT:
-            return solve_lp(lp, config)
-        return SimplexResult(
-            x=None, fun=None, status=status, success=False,
-            message=STATUS_MESSAGES.get(status, "Unknown status."),
-            nit=nit, basis=basis_np, solve_time=time.perf_counter() - t0,
-        )
+    # Same f64 safety net as the primal path: a dual-loop verdict that
+    # fails certification (or any non-optimal verdict) goes to the cold
+    # primal solve, which certifies/escalates itself.
+    if status != STATUS_OPTIMAL or \
+            not _certify_optimal_basis(sf, lp, basis_np):
+        return solve_lp(lp, config)
 
     x_dev, z_min_dev = tableau_ops.extract_solution(T_d, basis_d, sf.n_vars)
     x = np.asarray(x_dev, np.float64)
