@@ -17,8 +17,24 @@ from O(mn) HBM traffic to O(m^2) + one matvec.  Phase handling matches
 ``ops/tableau.py``; basic artificials are driven out in phase 2 by the
 ratio-test preference used in the sharded kernel (``parallel/sharded.py``).
 
-Numerics: float32 on device with an f64 host refinement of the final basis
-(same policy as models/dense).
+Why explicit inverse + periodic dense refactor, NOT an LU/eta file
+(deliberate TPU design, not an omission): CPU production codes keep a
+sparse LU of B and append eta vectors because their FTRAN/BTRAN are
+cache-friendly sparse triangular solves.  On TPU, triangular solves are
+SEQUENTIAL along the diagonal (no MXU utilization, one lane busy), while
+the explicit-inverse update is a rank-1 dense operation and every
+FTRAN/BTRAN/PRICE is a dense matvec — exactly what the MXU streams at
+full rate.  The LU lives WHERE it belongs: inside the periodic
+``jnp.linalg.solve`` refactorization (device LAPACK, O(m^3) amortized
+over ``refactor_every`` pivots), which also bounds the inverse-drift the
+eta-style rank-1 updates accumulate.  Sparsity in A is likewise not
+exploited at the instruction level: netlib-scale dense matvecs are
+bandwidth-trivial for the MXU, and irregular gather/scatter sparsity
+fights the (8, 128) tiling (SURVEY.md §7 "hard parts").
+
+Numerics: float32 on device with f64 host verdict certification +
+refinement of the final basis (same policy as models/dense), plus a
+one-shot loose-tol retry on numeric stalls.
 """
 from __future__ import annotations
 
