@@ -16,7 +16,13 @@ from .core.parsing import (
     ConstraintsValidator,
     ObjectiveFunctionParser,
 )
-from .core.problem import LinearProgram, compile_standard_form
+from .core.problem import (
+    LinearProgram,
+    compile_standard_form,
+    merge_free_solution,
+    split_free_variables,
+)
+from .utils.mps import load_mps, parse_mps
 from .models.batched import (BatchedSimplexSolver, BatchResult,
                              solve_arrays_stream, solve_lp_batch,
                              solve_lp_sweep)
@@ -39,9 +45,13 @@ __all__ = [
     "SimplexResult",
     "SolverConfig",
     "compile_standard_form",
+    "load_mps",
+    "merge_free_solution",
+    "parse_mps",
     "reoptimize",
     "solve_arrays_stream",
     "solve_lp",
     "solve_lp_batch",
     "solve_lp_sweep",
+    "split_free_variables",
 ]
