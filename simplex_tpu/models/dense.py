@@ -133,6 +133,65 @@ def _sensitivity_on_host(sf: StandardForm, lp: LinearProgram,
     return duals, reduced
 
 
+def _finalize_on_host(sf: StandardForm, lp: LinearProgram,
+                      basis: np.ndarray, sf64: Optional[StandardForm] = None,
+                      tol: float = 1e-7):
+    """One-factorization certify + refine + sensitivity (host f64).
+
+    Certification, refinement, and sensitivity each need the SAME basis
+    factorization (``B x_B = b`` and ``B' y = c_B``); computing them
+    separately cost three f64 standard-form rebuilds and up to six dense
+    LU factorizations per solve.  This does it once: one LU of B, two
+    triangular solves, one rc matvec.
+
+    Returns ``(certified, x_full, duals, reduced)`` — ``certified`` is the
+    f64 KKT verdict of the claimed-optimal basis (see
+    :func:`_certify_optimal_basis` for why every f32 verdict is checked);
+    ``x_full`` the exact vertex over all standard-form columns (None when
+    the basis is singular/padded); duals/reduced in USER-sense signs.
+    """
+    from scipy.linalg import lu_factor, lu_solve
+
+    m = sf.n_rows
+    basis = np.asarray(basis[:m], dtype=np.int64)
+    if np.any(basis >= sf.n_cols):
+        return False, None, None, None
+    if sf64 is None:
+        sf64 = compile_standard_form(lp, dtype=np.float64)
+    A_full = sf64.tableau[:m, : sf.n_cols]
+    b = sf64.tableau[:m, sf64.n_pad]
+    c_full = sf64.obj_row_p2[: sf.n_cols]
+    B = A_full[:, basis]
+    try:
+        lu = lu_factor(B)
+        x_B = lu_solve(lu, b)
+        y = lu_solve(lu, c_full[basis], trans=1)
+    except (np.linalg.LinAlgError, ValueError):
+        return False, None, None, None
+    if not (np.all(np.isfinite(x_B)) and np.all(np.isfinite(y))):
+        return False, None, None, None
+
+    x_full = np.zeros((sf.n_cols,), dtype=np.float64)
+    x_full[basis] = x_B
+
+    rc_min = c_full - y @ A_full
+    user_sign = -1.0 if lp.maximize else 1.0
+    row_sign = np.where(lp.b < 0, -1.0, 1.0)
+    duals = user_sign * row_sign * y
+    reduced = user_sign * rc_min[: lp.n_vars]
+
+    scale = 1.0 + float(np.max(np.abs(b))) if b.size else 1.0
+    c_scale = 1.0 + float(np.max(np.abs(c_full)))
+    art = (sf.col_mask_p1 & ~sf.col_mask_p2)[: sf.n_cols]
+    valid = sf.col_mask_p2[: sf.n_cols]
+    certified = (
+        not np.any(x_B < -tol * scale)
+        and not np.any(art[basis] & (np.abs(x_B) > tol * scale))
+        and bool(np.all(rc_min[valid] >= -tol * c_scale))
+    )
+    return certified, x_full, duals, reduced
+
+
 def _certify_optimal_basis(sf: StandardForm, lp: LinearProgram,
                            basis: np.ndarray, tol: float = 1e-7) -> bool:
     """f64 KKT check of a device-optimal basis (host).
@@ -460,9 +519,11 @@ def solve_lp(lp: LinearProgram,
     # terminal infeasible/unbounded verdicts are re-solved exactly by the
     # host f64 reference engine (same compiled standard form).
     escalated = False
+    certified, x_full, duals, reduced = False, None, None, None
     if status == STATUS_OPTIMAL:
-        if not _certify_optimal_basis(sf, lp, basis_np):
-            escalated = True
+        certified, x_full, duals, reduced = _finalize_on_host(
+            sf, lp, basis_np)
+        escalated = not certified
     elif status in (2, 3):
         escalated = True
     elif status == 1 and nit < config.max_iters:
@@ -474,6 +535,16 @@ def solve_lp(lp: LinearProgram,
                                      dtype=np.float64)
         status, basis_np, nit2 = _host_simplex_f64(sf64)
         nit += nit2
+        if status == STATUS_OPTIMAL:
+            # Same padding as sf, so the unpadded slices _finalize reads
+            # line up — saves a third f64 standard-form rebuild.
+            certified, x_full, duals, reduced = _finalize_on_host(
+                sf, lp, basis_np, sf64=sf64)
+            if x_full is None:
+                return SimplexResult(
+                    x=None, fun=None, status=STATUS_ITERATION_LIMIT,
+                    success=False, message=STATUS_MESSAGES[1], nit=nit,
+                    basis=basis_np, solve_time=time.perf_counter() - t0)
 
     if status != STATUS_OPTIMAL:
         return SimplexResult(
@@ -484,28 +555,15 @@ def solve_lp(lp: LinearProgram,
         )
 
     c_min = -lp.c if lp.maximize else lp.c
-    if escalated:
-        # The device tableau is stale — recover the vertex from the basis.
-        x_full = _refine_on_host(sf, lp, basis_np)
-        if x_full is None:
-            return SimplexResult(
-                x=None, fun=None, status=STATUS_ITERATION_LIMIT,
-                success=False, message=STATUS_MESSAGES[1], nit=nit,
-                basis=basis_np, solve_time=time.perf_counter() - t0)
+    if escalated or (config.refine and certified and x_full is not None):
+        # Exact f64 vertex for the final basis (the refine step — free now,
+        # certification already solved the basis system).
         x = x_full[: lp.n_vars]
         fun = float(c_min @ x)
     else:
         x_dev, z_min_dev = tableau_ops.extract_solution(T, basis, sf.n_vars)
         x = np.asarray(x_dev, dtype=np.float64)
         fun = float(np.asarray(z_min_dev))
-
-        if config.refine:
-            x_full = _refine_on_host(sf, lp, basis_np)
-            if x_full is not None and np.all(x_full[: sf.n_cols] >= -1e-7):
-                x = x_full[: lp.n_vars]
-                fun = float(c_min @ x)
-
-    duals, reduced = _sensitivity_on_host(sf, lp, basis_np)
 
     z_user = (-fun if lp.maximize else fun) + 0.0  # +0.0 normalizes -0.0
     return SimplexResult(

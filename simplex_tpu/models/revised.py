@@ -61,10 +61,8 @@ from ..core.problem import (
 )
 from .dense import (
     SimplexResult,
-    _certify_optimal_basis,
+    _finalize_on_host,
     _host_simplex_f64,
-    _refine_on_host,
-    _sensitivity_on_host,
 )
 
 RUNNING = -1
@@ -287,8 +285,10 @@ class RevisedSimplexSolver:
         # dense engine has (exactly-dependent columns can defeat any f32
         # loop; see models/dense._certify_optimal_basis).
         escalated = False
+        fin = (False, None, None, None)
         if status == STATUS_OPTIMAL:
-            escalated = not _certify_optimal_basis(sf, lp, basis_np)
+            fin = _finalize_on_host(sf, lp, basis_np, sf64=sf)
+            escalated = not fin[0]
         elif status in (STATUS_INFEASIBLE, STATUS_UNBOUNDED):
             escalated = True
         elif status == STATUS_ITERATION_LIMIT and \
@@ -308,19 +308,16 @@ class RevisedSimplexSolver:
         if escalated:
             status, basis_np, nit2 = _host_simplex_f64(sf)
             nit += nit2
+            if status == STATUS_OPTIMAL:
+                fin = _finalize_on_host(sf, lp, basis_np, sf64=sf)
+                if fin[1] is None:
+                    return self._fail(STATUS_ITERATION_LIMIT, nit, t0)
         if status != STATUS_OPTIMAL:
             return self._fail(status, nit, t0)
 
+        certified, x_full, duals, reduced = fin
         c_min = -lp.c if lp.maximize else lp.c
-        if escalated or self.config.refine:
-            x_full = _refine_on_host(sf, lp, basis_np)
-            if x_full is None or np.any(x_full[: sf.n_cols] < -1e-7):
-                if escalated:
-                    return self._fail(STATUS_ITERATION_LIMIT, nit, t0)
-                x_full = None
-        else:
-            x_full = None
-        if x_full is not None:
+        if x_full is not None and (escalated or self.config.refine):
             x = x_full[: lp.n_vars]
         else:
             x_B_np = np.asarray(x_B, np.float64)
@@ -328,8 +325,6 @@ class RevisedSimplexSolver:
             x[np.asarray(basis)] = x_B_np
             x = x[: lp.n_vars]
         fun = float(c_min @ x)
-
-        duals, reduced = _sensitivity_on_host(sf, lp, basis_np)
         z_user = (-fun if lp.maximize else fun) + 0.0
         return SimplexResult(
             x=np.maximum(x, 0.0), fun=fun, status=0, success=True,
@@ -366,13 +361,13 @@ class RevisedSimplexSolver:
         nit += nit2
         if status2 != STATUS_OPTIMAL:
             return self._fail(status2, nit, t0)
-        x_full = _refine_on_host(sf, lp, basis2)
+        _, x_full, duals, reduced = _finalize_on_host(sf, lp, basis2,
+                                                      sf64=sf)
         if x_full is None:
             return self._fail(status, nit, t0)
         c_min = -lp.c if lp.maximize else lp.c
         x = x_full[: lp.n_vars]
         fun = float(c_min @ x)
-        duals, reduced = _sensitivity_on_host(sf, lp, basis2)
         z_user = (-fun if lp.maximize else fun) + 0.0
         return SimplexResult(
             x=np.maximum(x, 0.0), fun=fun, status=0, success=True,

@@ -158,9 +158,14 @@ def _make_kernel(tol: float, devex: bool):
     return kernel
 
 
-def _pick_block_b(B: int, M: int, N: int, vmem_budget: int = 6 << 20) -> int:
-    """Largest power-of-two instance block whose in+out tableaus fit VMEM."""
-    per_instance = 2 * M * N * 4
+def _pick_block_b(B: int, M: int, N: int,
+                  vmem_budget: int = 5 << 19) -> int:
+    """Largest power-of-two instance block that fits the ~16 MB scoped-VMEM
+    budget: in+out tableau blocks plus mask, weight (in+out), basis
+    (in+out), and flag blocks — Mosaic multi-buffers the pipeline, so the
+    budget is ~1/6 of the scoped limit (measured: a 4.2 MB in+out tableau
+    footprint allocates 17.6 MB on-stack at the 16 MB cap)."""
+    per_instance = (2 * M * N + 6 * N + 2 * (M - 1) + 12) * 4
     blk = 1
     while blk * 2 <= B and B % (blk * 2) == 0 and \
             (blk * 2) * per_instance <= vmem_budget and blk * 2 <= 256:
