@@ -191,3 +191,37 @@ def test_heterogeneous_sweep_buckets_and_matches():
         assert status == single.status
         if ok:
             assert abs(z - single.z) <= 1e-5 * (1 + abs(single.z))
+
+
+def test_device_assembly_matches_host_compile():
+    """compile_batch_on_device must produce exactly what the numpy
+    compile_batch_uniform produces (tableau, basis, masks, objective rows,
+    phase flags) across mixed operators and negative RHS flips."""
+    import numpy as np
+    from simplex_tpu.models.batched import (
+        compile_batch_on_device,
+        compile_batch_uniform,
+    )
+
+    rng = np.random.default_rng(5)
+    B, m, n = 6, 7, 5
+    A = rng.normal(size=(B, m, n)).round(2)
+    b = rng.uniform(-4, 8, size=(B, m)).round(2)   # negatives force flips
+    c = rng.normal(size=(B, n)).round(2)
+    ops = np.array([-1, 1, 0, -1, 1, 0, -1])
+    maximize = rng.integers(0, 2, size=B).astype(bool)
+
+    host = compile_batch_uniform(c, A, b, ops, maximize)
+    dev = compile_batch_on_device(c, A, b, ops, maximize)
+    np.testing.assert_allclose(np.asarray(dev.T0), host.T0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dev.basis), host.basis)
+    np.testing.assert_array_equal(np.asarray(dev.col_mask_p1),
+                                  host.col_mask_p1)
+    np.testing.assert_array_equal(np.asarray(dev.col_mask_p2),
+                                  host.col_mask_p2)
+    np.testing.assert_allclose(np.asarray(dev.obj_row_p1), host.obj_row_p1,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev.obj_row_p2), host.obj_row_p2,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dev.need_p1), host.need_p1)
+    assert dev.n_vars == host.n_vars
