@@ -158,17 +158,21 @@ def _make_kernel(tol: float, devex: bool):
     return kernel
 
 
+_VMEM_LIMIT = 96 << 20   # raised Mosaic scoped-VMEM cap (v5e VMEM = 128 MB)
+
+
 def _pick_block_b(B: int, M: int, N: int,
-                  vmem_budget: int = 5 << 19) -> int:
-    """Largest power-of-two instance block that fits the ~16 MB scoped-VMEM
-    budget: in+out tableau blocks plus mask, weight (in+out), basis
-    (in+out), and flag blocks — Mosaic multi-buffers the pipeline, so the
-    budget is ~1/6 of the scoped limit (measured: a 4.2 MB in+out tableau
-    footprint allocates 17.6 MB on-stack at the 16 MB cap)."""
+                  vmem_budget: int = _VMEM_LIMIT // 5) -> int:
+    """Largest power-of-two instance block that fits the scoped-VMEM cap:
+    in+out tableau blocks plus mask, weight (in+out), basis (in+out), and
+    flag blocks.  Mosaic multi-buffers the pipeline at ~4x the block
+    footprint (measured: a 4.4 MB footprint allocates 17.6 MB on-stack),
+    so the budget is 1/5 of the limit we request via
+    ``CompilerParams(vmem_limit_bytes=...)``."""
     per_instance = (2 * M * N + 6 * N + 2 * (M - 1) + 12) * 4
     blk = 1
     while blk * 2 <= B and B % (blk * 2) == 0 and \
-            (blk * 2) * per_instance <= vmem_budget and blk * 2 <= 256:
+            (blk * 2) * per_instance <= vmem_budget and blk * 2 <= 512:
         blk *= 2
     return blk
 
@@ -245,6 +249,8 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland, weights,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(T, basis,
       jnp.asarray(cm1, T.dtype), jnp.asarray(cm2, T.dtype),
       phase.reshape(B, 1), status.reshape(B, 1), bland_arr, w_in)

@@ -101,3 +101,22 @@ def test_devex_reduces_pivots_batched():
     assert (np.asarray(out_dv[2]) == 0).all()
     assert (np.asarray(out_dz[2]) == 0).all()
     assert np.asarray(out_dv[4]).sum() <= np.asarray(out_dz[4]).sum()
+
+
+def test_single_lp_fused_pivot_matches_xla():
+    """The large-tableau fused pivot kernel (ops/pallas_pivot.py) must
+    match ops.tableau.pivot_update exactly (interpreter mode off-TPU)."""
+    import jax.numpy as jnp
+    from simplex_tpu.ops.pallas_pivot import pivot_update_fused
+    from simplex_tpu.ops.tableau import pivot_update
+
+    rng = np.random.default_rng(9)
+    R, W = 512, 512
+    T = jnp.asarray(rng.normal(size=(R, W)).astype(np.float32))
+    basis = jnp.arange(R - 1, dtype=jnp.int32)
+    for r, s in [(3, 7), (0, 0), (R - 2, W - 2)]:
+        ref, _ = pivot_update(T, basis, jnp.int32(r), jnp.int32(s))
+        got = pivot_update_fused(T, r, s, block_r=128, block_c=128,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
