@@ -41,6 +41,39 @@ def _bucket(x: int, minimum: int = 8) -> int:
     return b
 
 
+def _bucket_gentle(x: int, align: int = 8) -> int:
+    """Quantize ``x`` up with at most ~12.5% padding overhead.
+
+    Buckets are multiples of ``align`` AND of 1/8 of the enclosing power of
+    two, so the number of distinct compiled shapes stays logarithmic (8 per
+    octave) while the padding waste is bounded.  Power-of-two bucketing
+    (``_bucket``) wastes up to 2x just above a power of two — a 2048-row LP
+    was being solved on a 4096-row tableau, doubling every pivot's HBM
+    traffic.
+    """
+    x = max(int(x), align)
+    step = max(align, (1 << (x.bit_length() - 1)) // 8)
+    step = ((step + align - 1) // align) * align
+    return ((x + step - 1) // step) * step
+
+
+def _pad_plan(lp: LinearProgram):
+    """(row_pad, col_pad) compile targets for one LP.
+
+    Rows: total (constraints + objective) gently bucketed.  Columns: the
+    EXACT slack/artificial count after RHS-flip canonicalization — not the
+    3m+n worst case, which allocated artificial columns even for pure-<=
+    problems (another ~1.8x of dead HBM traffic at large m).
+    """
+    m, n = lp.n_cons, lp.n_vars
+    row_total = _bucket_gentle(m + 1, 8)
+    m_pad = row_total - 1
+    ops_eff = np.where(lp.b < 0, -lp.ops, lp.ops)
+    n_cols = n + int(np.sum(ops_eff != 0)) + int(np.sum(ops_eff != -1))
+    col_total = _bucket_gentle(n_cols + (m_pad - m) + 1, 128)
+    return row_total, col_total
+
+
 @dataclasses.dataclass
 class SimplexResult:
     """scipy.optimize.OptimizeResult-compatible solve result."""
@@ -454,8 +487,7 @@ def solve_lp(lp: LinearProgram,
                              message=STATUS_MESSAGES[0], nit=0,
                              z=0.0, solve_time=time.perf_counter() - t0)
 
-    row_pad = _bucket(lp.n_cons)
-    col_pad = _bucket(lp.n_cons + 2 * lp.n_cons + lp.n_vars, 16)
+    row_pad, col_pad = _pad_plan(lp)
     sf = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,
                                dtype=dtype)
 
@@ -604,12 +636,9 @@ def reoptimize(lp: LinearProgram, basis: np.ndarray,
     if lp.n_cons == 0 or basis is None:
         return solve_lp(lp, config)
 
-    sf = compile_standard_form(
-        lp,
-        row_pad=_bucket(lp.n_cons),
-        col_pad=_bucket(lp.n_cons + 2 * lp.n_cons + lp.n_vars, 16),
-        dtype=dtype,
-    )
+    row_pad, col_pad = _pad_plan(lp)
+    sf = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,
+                               dtype=dtype)
     m_pad, n_pad = sf.m_pad, sf.n_pad
     basis = np.asarray(basis, dtype=np.int32).reshape(-1)
     if basis.shape[0] != m_pad or np.any(basis < 0) or np.any(basis >= n_pad):

@@ -426,7 +426,15 @@ def solve_tableau_dual(T0, basis0, col_mask, tol: float = 1e-6,
         rc = T[-1, :-1]
         safe = jnp.where(eligible, -row, 1.0)
         ratios = jnp.where(eligible, jnp.maximum(rc, 0.0) / safe, jnp.inf)
-        s = jnp.where(use_bland, jnp.argmax(eligible), jnp.argmin(ratios))
+        # Harris-style stabilization (mirror of the primal ratio test):
+        # among columns whose dual ratio is within the tol-relaxed window
+        # of the minimum, enter the one with the LARGEST |pivot| — tiny
+        # pivots are what drive the basis near-singular in f32.
+        min_ratio = jnp.min(ratios)
+        window = eligible & (
+            ratios <= min_ratio + tol * (1.0 + jnp.abs(min_ratio)))
+        s_harris = jnp.argmax(jnp.where(window, -row, -jnp.inf))
+        s = jnp.where(use_bland, jnp.argmax(eligible), s_harris)
 
         want_stop = primal_ok | no_pivot
         fresh = since_ref == 0

@@ -87,6 +87,31 @@ def init_app(storage: StorageService = None) -> WebApp:
                 ctx.flash("Selecciona un archivo antes de continuar.",
                           "error")
                 return ctx.redirect("/load")
+            if f.filename.lower().endswith((".mps", ".sif")):
+                # Additive: netlib MPS upload — lowered to the report
+                # schema's problem dict when expressible (the dict has no
+                # bounds vocabulary, so free-variable LPs are directed to
+                # the CLI, which solves them through the direct-engine
+                # path).
+                from ..utils.mps import parse_mps
+
+                try:
+                    lp = parse_mps(f.read().decode("utf-8"))
+                except (ValueError, UnicodeDecodeError) as e:
+                    ctx.flash(f"Archivo MPS inválido: {e}", "error")
+                    return ctx.redirect("/load")
+                if lp.has_free:
+                    ctx.flash(
+                        "El MPS contiene variables libres (FR/MI), que el "
+                        "esquema del problema web no puede expresar; usa "
+                        "'python -m simplex_tpu.cli solve archivo.mps'.",
+                        "error")
+                    return ctx.redirect("/load")
+                problem = lp.to_problem_dict()
+                ctx.session["problem_data_wrapper"] = {
+                    "problema_definicion": problem}
+                return ctx.render("preview.html", problem_data=problem,
+                                  from_page="load")
             try:
                 content = json.loads(f.read().decode("utf-8"))
             except Exception as e:

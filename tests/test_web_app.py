@@ -165,3 +165,43 @@ def test_metrics_endpoint_counts_solves(client):
     data = json.loads(r.text)
     assert data["solves"]["solves"] == before + 1
     assert data["solves"]["optimal"] >= 1
+
+
+def test_load_mps_upload(client):
+    """Additive: /load accepts netlib MPS uploads (expressible LPs)."""
+    mps = """NAME T
+ROWS
+ N  OBJ
+ L  R1
+ L  R2
+COLUMNS
+    X1        OBJ         -3.0   R1           1.0
+    X2        OBJ         -5.0   R2           2.0
+    X1        R2           0.0
+RHS
+    RHS       R1           4.0   R2          12.0
+ENDATA
+"""
+    r = client.post("/load", files={"problem_file": ("t.mps", mps)})
+    assert r.status_code == 200
+    r2 = client.post("/solve")
+    assert r2.status_code == 200 and "Solucion Factible" in r2.text
+
+
+def test_load_mps_free_vars_rejected(client):
+    mps = """NAME T
+ROWS
+ N  OBJ
+ L  R1
+COLUMNS
+    X1        OBJ          1.0   R1           1.0
+RHS
+    RHS       R1           5.0
+BOUNDS
+ FR BND       X1
+ENDATA
+"""
+    r = client.post("/load", files={"problem_file": ("t.mps", mps)},
+                    follow_redirects=True)
+    assert r.status_code == 200
+    assert "variables libres" in r.text
