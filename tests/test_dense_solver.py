@@ -419,3 +419,48 @@ def test_devex_pricing_matches_dantzig():
         assert r1.status == r2.status
         if r1.success:
             assert abs(r1.z - r2.z) <= 1e-5 * (1 + abs(r1.z))
+
+
+def test_pad_plan_gentle_buckets():
+    """The padding plan must bound overhead (<= ~12.5% per axis) and count
+    exact slack/artificial columns — a 2048-row all-<= LP must NOT get the
+    old 4096x8192 power-of-two tableau."""
+    from simplex_tpu.models.dense import _bucket_gentle, _pad_plan
+    from simplex_tpu.core.problem import compile_standard_form
+
+    assert _bucket_gentle(2049, 8) <= 2049 * 1.13
+    assert _bucket_gentle(5, 8) == 8
+    assert _bucket_gentle(129, 128) % 128 == 0
+
+    rng = np.random.default_rng(0)
+    m = n = 256
+    lp = LinearProgram(c=rng.uniform(0.1, 1, n),
+                       A=rng.uniform(0.05, 1, (m, n)),
+                       b=rng.uniform(50, 100, m),
+                       ops=np.full(m, -1), maximize=True)
+    row_pad, col_pad = _pad_plan(lp)
+    sf = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad)
+    assert sf.m_pad + 1 <= (m + 1) * 1.13
+    # all-<= LP: n decision + m slack + padding units + RHS, no artificials
+    assert sf.n_pad + 1 <= ((n + m) + (sf.m_pad - m) + 1) * 1.2 + 128
+
+
+def test_beale_cycling_example():
+    """Beale's classic cycling LP (Dantzig pricing cycles forever without
+    anti-cycling).  The stall-gated Bland switch must terminate it at the
+    true optimum z = -1/20."""
+    lp = LinearProgram(
+        c=[-0.75, 150.0, -0.02, 6.0],
+        A=[[0.25, -60.0, -1.0 / 25.0, 9.0],
+           [0.5, -90.0, -1.0 / 50.0, 3.0],
+           [0.0, 0.0, 1.0, 0.0]],
+        b=[0.0, 0.0, 1.0],
+        ops=[-1, -1, -1],
+        maximize=False,
+    )
+    res = solve_lp(lp)
+    assert res.status == 0
+    assert res.z == pytest.approx(-0.05, abs=1e-9)
+    from scipy.optimize import linprog
+    ref = linprog(lp.c, A_ub=lp.A, b_ub=lp.b, method="highs")
+    assert res.z == pytest.approx(ref.fun, abs=1e-9)
