@@ -488,8 +488,17 @@ def solve_lp(lp: LinearProgram,
                              z=0.0, solve_time=time.perf_counter() - t0)
 
     row_pad, col_pad = _pad_plan(lp)
-    sf = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,
-                               dtype=dtype)
+    # Compile ONCE in f64 and cast: compile_standard_form assembles in f64
+    # internally anyway, and the f64 form is reused by host finalization
+    # and escalation (saves a full rebuild per solve).
+    sf64 = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,
+                                 dtype=np.float64)
+    sf = dataclasses.replace(
+        sf64,
+        tableau=sf64.tableau.astype(dtype),
+        obj_row_p1=sf64.obj_row_p1.astype(dtype),
+        obj_row_p2=sf64.obj_row_p2.astype(dtype),
+    )
 
     if warm_basis is not None:
         warm = _try_warm_start(sf, warm_basis)
@@ -554,7 +563,7 @@ def solve_lp(lp: LinearProgram,
     certified, x_full, duals, reduced = False, None, None, None
     if status == STATUS_OPTIMAL:
         certified, x_full, duals, reduced = _finalize_on_host(
-            sf, lp, basis_np)
+            sf, lp, basis_np, sf64=sf64)
         escalated = not certified
     elif status in (2, 3):
         escalated = True
@@ -563,8 +572,6 @@ def solve_lp(lp: LinearProgram,
         # iteration cap: f32 drift is faking eligible pivots.
         escalated = True
     if escalated:
-        sf64 = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,
-                                     dtype=np.float64)
         status, basis_np, nit2 = _host_simplex_f64(sf64)
         nit += nit2
         if status == STATUS_OPTIMAL:
