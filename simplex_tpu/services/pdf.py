@@ -271,6 +271,9 @@ class PdfReportService:
         if not tables:
             return
         doc.heading("4. Tablas Intermedias (Método Simplex)", size=13)
+        note = self.report.get("nota_historial")
+        if note:
+            doc.paragraph(note, bold=True)
         for entry in tables:
             doc.paragraph(entry.get("title", ""), bold=True)
             rows = entry.get("table") or []
