@@ -302,6 +302,7 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
     def run_phase(col_mask, obj_raw):
         nonlocal T, basis, nit
         since, no_imp, best = 0, 0, np.inf
+        w = np.ones((T.shape[1] - 1,))       # Devex reference weights
         for _ in range(max_iters):
             rc = np.where(col_mask, T[-1, :-1], np.inf)
             eligible = rc < -tol
@@ -310,8 +311,11 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
                     since = 0
                     continue
                 return STATUS_OPTIMAL
-            s = int(np.argmax(eligible)) if no_imp >= 64 else \
-                int(np.argmin(rc))
+            if no_imp >= 64:
+                s = int(np.argmax(eligible))
+            else:
+                s = int(np.argmax(np.where(eligible, rc * rc / w,
+                                           -np.inf)))
             col = T[:-1, s]
             rhs = T[:-1, -1]
             pos = col > tol
@@ -331,6 +335,14 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
                                 np.where(pos, col, 1.0), np.inf).min()
                 cand = pos & (ratios <= tmax)
                 r = int(np.argmax(np.where(cand, col, -np.inf)))
+            # Devex weight update from the normalized pivot row.
+            alpha = T[r, :-1] / T[r, s]
+            w_s = w[s]
+            w = np.maximum(w, (alpha * alpha) * w_s)
+            w[basis[r]] = max(w_s, 1.0)
+            w[s] = 1.0
+            if w.max() > 1e8:
+                w[:] = 1.0
             prow = T[r] / T[r, s]
             T = T - T[:, s:s + 1] * prow[None, :]
             T[r] = prow
@@ -536,6 +548,9 @@ def solve_lp(lp: LinearProgram,
             bland_after=int(bland_after),
             refactor_every=int(refactor_every),
             devex=config.pivot_rule == "devex",
+            # XLA's on-device LU overflows the 16 MB scoped-VMEM cap above
+            # m ~ 11k; switch to the LU-free Newton resync there.
+            newton_drift=sf.m_pad > 8192,
         )
         status = int(status)
         basis_np = np.asarray(basis)

@@ -141,6 +141,44 @@ def refactor_tableau(T0_rows, basis, raw_obj):
     return T_new
 
 
+def newton_resync(T, basis, basis0, T0_rows, raw_obj):
+    """LU-free drift control: Newton-refine the RHS + exact reprice.
+
+    XLA's on-device LU (``refactor_tableau``) needs scoped VMEM that the
+    runtime caps at 16 MB — the LuDecompositionBlock overflows it around
+    m ≈ 11k, exactly the BASELINE 10k×10k regime.  This variant controls
+    drift on the two quantities that decide pivots and verdicts (the
+    sharded kernel's scheme, ``parallel/sharded.py``):
+
+    * ``x_B`` gets one Newton step against the ORIGINAL data using the
+      approximate inverse already embedded in the tableau
+      (``T_rows[:, basis0] ≈ B⁻¹`` — basis0 indexes the identity columns
+      of T0), kept only when it reduces the residual;
+    * the objective row is re-priced exactly against the current rows.
+
+    Everything is O(m·N) matvecs — no LU, no m×m temporary: the
+    basis-column contractions become scatters into an N-vector followed
+    by plain matvecs.  Row drift itself stays bounded only by the Harris
+    ratio test + the host f64 certification/escalation net.
+    """
+    T_rows = T[:-1]
+    N1 = T_rows.shape[1]
+    b0 = T0_rows[:, -1]
+    xB = T_rows[:, -1]
+    xfull = jnp.zeros((N1,), T.dtype).at[basis].set(xB)
+    r0 = b0 - T0_rows @ xfull
+    rfull = jnp.zeros((N1,), T.dtype).at[basis0].set(r0)
+    xB1 = xB + T_rows @ rfull
+    xfull1 = jnp.zeros((N1,), T.dtype).at[basis].set(xB1)
+    r1 = b0 - T0_rows @ xfull1
+    better = (jnp.sum(r1 * r1) < jnp.sum(r0 * r0)) & \
+        jnp.all(jnp.isfinite(xB1))
+    xB_out = jnp.where(better, xB1, xB)
+    T = T.at[:-1, -1].set(xB_out)
+    obj = raw_obj - raw_obj[basis] @ T[:-1]
+    return T.at[-1].set(obj)
+
+
 def _devex_update(w, T, basis, r, s):
     """Forrest-Goldfarb Devex weight update for pivot (r, s).
 
@@ -162,7 +200,8 @@ def _devex_update(w, T, basis, r, s):
 
 def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
                tol, max_iters, bland_after, refactor_every, iters0,
-               devex: bool = False):
+               devex: bool = False, basis0=None,
+               use_newton: bool = False):
     """Pivot until optimal/unbounded/iteration-cap via ``lax.while_loop``.
 
     Numerics: the tableau is refactorized from the original data every
@@ -216,7 +255,10 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
 
         def do_refactor(args):
             T, basis, _, w = args
-            T_new = refactor_tableau(T0_rows, basis, raw_obj)
+            if use_newton:
+                T_new = newton_resync(T, basis, basis0, T0_rows, raw_obj)
+            else:
+                T_new = refactor_tableau(T0_rows, basis, raw_obj)
             ok = jnp.all(jnp.isfinite(T_new))
             T = jnp.where(ok, T_new, T)
             return T, basis, jnp.int32(0), w
@@ -302,14 +344,19 @@ def _evict_artificials(T, basis, art_mask_ext, col_mask_p2, tol):
 @functools.partial(
     jax.jit,
     static_argnames=("need_phase1", "tol", "max_iters", "bland_after",
-                     "feas_tol", "refactor_every", "devex"),
+                     "feas_tol", "refactor_every", "devex", "newton_drift"),
 )
 def solve_tableau(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p1, obj_row_p2,
                   need_phase1: bool, tol: float = 1e-6,
                   max_iters: int = 16384, bland_after: int = 2048,
                   feas_tol: float = 1e-5, refactor_every: int = 64,
-                  devex: bool = False):
+                  devex: bool = False, newton_drift: bool = False):
     """Full two-phase dense simplex solve on one padded tableau.
+
+    ``newton_drift`` switches drift control from the exact on-device LU
+    refactorization to the LU-free Newton-RHS + exact-reprice resync
+    (see :func:`newton_resync`) — required above m ≈ 11k where XLA's LU
+    block overflows the runtime's 16 MB scoped-VMEM cap.
 
     Returns ``(T, basis, status, iters)`` with scipy-compatible status codes
     (0 optimal, 1 iteration limit, 2 infeasible, 3 unbounded).
@@ -322,7 +369,7 @@ def solve_tableau(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p1, obj_row_p2,
         T, basis, iters, status = _run_phase(
             T0, basis0, col_mask_p1, T0_rows, obj_row_p1,
             tol, max_iters, bland_after, refactor_every, iters0,
-            devex=devex,
+            devex=devex, basis0=basis0, use_newton=newton_drift,
         )
         phase1_obj = -T[-1, -1]
         infeasible = phase1_obj > feas_tol * b_scale
@@ -343,7 +390,7 @@ def solve_tableau(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p1, obj_row_p2,
     T2, basis2, iters2, status2 = _run_phase(
         T, basis, col_mask_p2, T0_rows, obj_row_p2,
         tol, max_iters, bland_after, refactor_every, iters,
-        devex=devex,
+        devex=devex, basis0=basis0, use_newton=newton_drift,
     )
 
     final_status = jnp.where(

@@ -464,3 +464,34 @@ def test_beale_cycling_example():
     from scipy.optimize import linprog
     ref = linprog(lp.c, A_ub=lp.A, b_ub=lp.b, method="highs")
     assert res.z == pytest.approx(ref.fun, abs=1e-9)
+
+
+def test_newton_drift_mode_matches_lu():
+    """The LU-free Newton drift control (required above m~11k, where XLA's
+    on-device LU overflows scoped VMEM) must reach the same optimum as the
+    LU refactorization path."""
+    import jax.numpy as jnp
+    from simplex_tpu.core.problem import compile_standard_form
+    from simplex_tpu.ops import tableau as tops
+
+    rng = np.random.default_rng(1)
+    m, n = 48, 32
+    A = rng.uniform(0.05, 1.0, (m, n))
+    x0 = rng.uniform(0.5, 1.5, n)
+    ops = np.concatenate([np.full(m - 8, -1), np.full(8, 1)])
+    b = A @ x0 + np.where(ops == -1, 0.5, -0.5)
+    lp = LinearProgram(c=rng.uniform(0.1, 1, n), A=A, b=b, ops=ops,
+                       maximize=True)
+    sf = compile_standard_form(lp, dtype=np.float32)
+    args = [jnp.asarray(x) for x in
+            (sf.tableau, sf.basis, sf.col_mask_p1, sf.col_mask_p2,
+             sf.obj_row_p1, sf.obj_row_p2)]
+    outs = {}
+    for mode in (False, True):
+        T, basis, status, _ = tops.solve_tableau(
+            *args, need_phase1=sf.need_phase1, refactor_every=8,
+            devex=True, newton_drift=mode)
+        assert int(status) == 0
+        _, z = tops.extract_solution(T, basis, sf.n_vars)
+        outs[mode] = float(z)
+    assert outs[True] == pytest.approx(outs[False], rel=1e-4)
