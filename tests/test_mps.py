@@ -219,3 +219,18 @@ def test_netlib_style_large_parity_revised():
         assert ref.status == 0 and r.status == 0
         zref = -ref.fun if lp.maximize else ref.fun
         assert abs(r.z - zref) < 1e-4 * (1 + abs(zref))
+
+
+def test_sweep_buckets_free_vars():
+    """solve_lp_sweep buckets and solves mixed free/nonneg LPs correctly."""
+    from simplex_tpu.models.batched import solve_lp_sweep
+
+    lps = [parse_mps(NLFREE1), parse_mps(TESTPROB),
+           generate_netlib_style(21, m=6, n=5, n_free=2)]
+    results = solve_lp_sweep(lps)
+    for lp, (x, z, status, ok) in zip(lps, results):
+        ref = _scipy_ref(lp)
+        assert status == ref.status, (status, ref.status)
+        if ok:
+            assert z == pytest.approx(ref.fun if not lp.maximize
+                                      else -ref.fun, abs=1e-3)
