@@ -17,9 +17,12 @@ from .core.parsing import (
     ObjectiveFunctionParser,
 )
 from .core.problem import (
+    BoundsTransform,
     LinearProgram,
     compile_standard_form,
+    lower_bounds_to_rows,
     merge_free_solution,
+    normalize_bounds,
     split_free_variables,
 )
 from .utils.mps import load_mps, parse_mps
@@ -34,6 +37,9 @@ from .models.revised import RevisedSimplexSolver
 __all__ = [
     "BatchResult",
     "BatchedSimplexSolver",
+    "BoundsTransform",
+    "lower_bounds_to_rows",
+    "normalize_bounds",
     "Constraint",
     "ConstraintsParser",
     "ConstraintsValidator",

@@ -100,8 +100,11 @@ def _solve_mps(args) -> int:
         return 1
     engine = getattr(args, "engine", "auto")
     if engine == "auto":
-        # n >> m (netlib-shaped): revised simplex; otherwise dense tableau.
-        engine = "revised" if lp.n_vars >= 2 * lp.n_cons else "dense"
+        # Finite variable bounds: the revised engine handles them natively
+        # (bounded ratio test — no dense bound rows); otherwise n >> m
+        # (netlib-shaped) prefers revised, square/tall prefers dense.
+        engine = ("revised" if lp.has_finite_bounds
+                  or lp.n_vars >= 2 * lp.n_cons else "dense")
     if engine == "revised":
         from .models.revised import RevisedSimplexSolver
         res = RevisedSimplexSolver(SolverConfig.from_env()).solve(lp)

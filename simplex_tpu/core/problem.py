@@ -52,7 +52,7 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass
 class LinearProgram:
-    """A standard-form LP: min/max c'x s.t. A x (<=|=|>=) b, x >= 0."""
+    """A standard-form LP: min/max c'x s.t. A x (<=|=|>=) b, lb <= x <= ub."""
 
     c: np.ndarray                 # (n,) objective coefficients (user sense)
     A: np.ndarray                 # (m, n) constraint matrix
@@ -60,11 +60,20 @@ class LinearProgram:
     ops: np.ndarray               # (m,) int8 in {OP_LE, OP_EQ, OP_GE}
     maximize: bool = True
     variables: Optional[List[str]] = None  # display names, numeric order
-    # (n,) bool — True marks a FREE variable (no sign restriction).  The
-    # default (None → all False) keeps the reference's implicit ``x >= 0``
-    # convention (``solver_controller.py:163``); real netlib LPs need free
-    # variables (MPS FR/MI bounds), compiled via the x = x+ - x- split.
+    # (n,) bool — True marks a FREE variable (lower bound -inf).  Kept as a
+    # constructor convenience; folded into ``lb`` below.  The default
+    # (None → all False) keeps the reference's implicit ``x >= 0``
+    # convention (``solver_controller.py:163``).
     free: Optional[np.ndarray] = None
+    # Native variable bounds (the capability HiGHS provides behind the
+    # reference's ``solver_controller.py:78-85`` — its call site only ever
+    # uses ``(0, None)`` but netlib MPS BOUNDS sections need the general
+    # form).  ``lb`` defaults to 0 (may be -inf or any finite value),
+    # ``ub`` to +inf.  Engines either handle these natively (revised
+    # simplex, bounded ratio test) or lower them via
+    # :func:`lower_bounds_to_rows` / :func:`normalize_bounds`.
+    lb: Optional[np.ndarray] = None
+    ub: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.c = np.asarray(self.c, dtype=np.float64).reshape(-1)
@@ -73,17 +82,39 @@ class LinearProgram:
             self.b.shape[0], self.c.shape[0]
         )
         self.ops = np.asarray(self.ops, dtype=np.int8).reshape(-1)
+        n = self.c.shape[0]
         if self.variables is None:
-            self.variables = [f"x{i + 1}" for i in range(self.c.shape[0])]
-        if self.free is None:
-            self.free = np.zeros((self.c.shape[0],), dtype=bool)
+            self.variables = [f"x{i + 1}" for i in range(n)]
+        if self.lb is None:
+            self.lb = np.zeros((n,), dtype=np.float64)
         else:
-            self.free = np.asarray(self.free, dtype=bool).reshape(
-                self.c.shape[0])
+            self.lb = np.asarray(self.lb, dtype=np.float64).reshape(n).copy()
+        if self.ub is None:
+            self.ub = np.full((n,), np.inf, dtype=np.float64)
+        else:
+            self.ub = np.asarray(self.ub, dtype=np.float64).reshape(n).copy()
+        if self.free is not None:
+            fr = np.asarray(self.free, dtype=bool).reshape(n)
+            self.lb[fr] = -np.inf
+        # ``free`` is derived state: lb == -inf.
+        self.free = np.isneginf(self.lb)
+        if np.any(self.lb > self.ub):
+            j = int(np.argmax(self.lb > self.ub))
+            raise ValueError(
+                f"Cota inferior mayor que la superior para "
+                f"{self.variables[j]}: [{self.lb[j]}, {self.ub[j]}].")
 
     @property
     def has_free(self) -> bool:
         return bool(np.any(self.free))
+
+    @property
+    def has_finite_bounds(self) -> bool:
+        """True when any bound differs from the default ``[0, +inf)``
+        in a way that needs lowering (finite nonzero lb or finite ub).
+        A bare lb = -inf is NOT counted — that is ``has_free``."""
+        lb_nontrivial = (self.lb != 0.0) & np.isfinite(self.lb)
+        return bool(np.any(lb_nontrivial) or np.any(np.isfinite(self.ub)))
 
     @property
     def n_vars(self) -> int:
@@ -110,9 +141,22 @@ class LinearProgram:
         b = np.array([float(con["rhs"]) for con in constraints])
         ops = np.array([_OP_FROM_STR[con["operator"]] for con in constraints],
                        dtype=np.int8)
+        # Optional native bounds (additive to the reference schema; absent
+        # means the reference's implicit [0, +inf) convention).  JSON has no
+        # infinity literal, so missing/None entries mean the default.
+        bounds = problem.get("bounds") or {}
+        lb = ub = None
+        if bounds:
+            lb = np.array([
+                -np.inf if bounds.get("lb", {}).get(v) == "-inf"
+                else float(bounds.get("lb", {}).get(v, 0.0) or 0.0)
+                for v in names])
+            ub = np.array([
+                np.inf if bounds.get("ub", {}).get(v) in (None, "inf")
+                else float(bounds["ub"][v]) for v in names])
         return cls(c=c, A=A, b=b, ops=ops,
                    maximize=objective["type"] == "maximize",
-                   variables=names)
+                   variables=names, lb=lb, ub=ub)
 
     @classmethod
     def from_constraints(cls, objective_coeffs: Dict[str, float],
@@ -128,7 +172,7 @@ class LinearProgram:
         return cls.from_problem_dict(problem)
 
     def to_problem_dict(self) -> Dict:
-        return {
+        out = {
             "funcion_objetivo": {
                 "type": "maximize" if self.maximize else "minimize",
                 "coefficients": {v: float(self.c[i])
@@ -144,6 +188,18 @@ class LinearProgram:
                 for i in range(self.n_cons)
             ],
         }
+        # Emit bounds only when non-default so the schema stays byte-level
+        # compatible with the reference for plain x >= 0 problems.
+        if self.has_free or self.has_finite_bounds:
+            lbd = {v: ("-inf" if np.isneginf(self.lb[i])
+                       else float(self.lb[i]))
+                   for i, v in enumerate(self.variables)
+                   if self.lb[i] != 0.0}
+            ubd = {v: float(self.ub[i])
+                   for i, v in enumerate(self.variables)
+                   if np.isfinite(self.ub[i])}
+            out["bounds"] = {"lb": lbd, "ub": ubd}
+        return out
 
 
 def split_free_variables(
@@ -161,12 +217,21 @@ def split_free_variables(
     if not lp.has_free:
         return lp, None
     free_idx = np.where(lp.free)[0]
+    if np.any(np.isfinite(lp.ub[free_idx])):
+        raise ValueError(
+            "split_free_variables requiere ub = +inf en las variables "
+            "libres; aplique normalize_bounds (volteo x = u - x') o "
+            "lower_bounds_to_rows primero.")
     c2 = np.concatenate([lp.c, -lp.c[free_idx]])
     A2 = np.hstack([lp.A, -lp.A[:, free_idx]])
     names2 = list(lp.variables) + [
         f"{lp.variables[j]}__neg" for j in free_idx]
+    k = free_idx.shape[0]
+    lb2 = np.concatenate([np.where(lp.free, 0.0, lp.lb), np.zeros(k)])
+    ub2 = np.concatenate([lp.ub, np.full(k, np.inf)])
     lp2 = LinearProgram(c=c2, A=A2, b=lp.b, ops=lp.ops.copy(),
-                        maximize=lp.maximize, variables=names2)
+                        maximize=lp.maximize, variables=names2,
+                        lb=lb2, ub=ub2)
     return lp2, free_idx
 
 
@@ -179,6 +244,123 @@ def merge_free_solution(x2: np.ndarray, n_vars: int,
     x = x2[:n_vars].copy()
     x[free_idx] -= x2[n_vars: n_vars + free_idx.shape[0]]
     return x
+
+
+# --------------------------------------------------------------------------- #
+# Native variable bounds: normalization + lowering                            #
+# --------------------------------------------------------------------------- #
+@dataclasses.dataclass
+class BoundsTransform:
+    """Inverse map of :func:`normalize_bounds`.
+
+    The normalized LP has ``lb[j] ∈ {0, -inf}`` and finite ``ub`` only
+    where ``lb = 0`` — the canonical form the bounded-variable revised
+    simplex consumes (upper bounds only).  Per variable j:
+
+      * finite lb:           shift   ``x_j = shift_j + x'_j``
+      * lb=-inf, ub finite:  flip    ``x_j = shift_j - x'_j`` (shift=ub)
+      * lb=-inf, ub=+inf:    identity (still free; engines split next)
+
+    so uniformly ``x = shift + sign * x'``.  Duals are unchanged
+    (constraint rows are untouched); user-sense reduced costs map as
+    ``rc_j = sign_j * rc'_j``; the user-sense objective gains
+    ``z_offset = c_user · shift``.
+    """
+
+    shift: np.ndarray     # (n,)
+    sign: np.ndarray      # (n,) in {+1, -1}
+    z_offset: float       # user-sense objective offset
+
+    @property
+    def identity(self) -> bool:
+        return (self.z_offset == 0.0 and np.all(self.sign == 1.0)
+                and np.all(self.shift == 0.0))
+
+    def restore_x(self, x2: np.ndarray) -> np.ndarray:
+        n = self.shift.shape[0]
+        return self.shift + self.sign * np.asarray(
+            x2, np.float64).reshape(-1)[:n]
+
+    def restore_reduced(self, rc2: Optional[np.ndarray]
+                        ) -> Optional[np.ndarray]:
+        if rc2 is None:
+            return None
+        n = self.shift.shape[0]
+        return self.sign * np.asarray(rc2, np.float64).reshape(-1)[:n]
+
+
+def normalize_bounds(lp: LinearProgram) -> Tuple[LinearProgram,
+                                                 BoundsTransform]:
+    """Rewrite general bounds to the canonical ``0 <= x' (<= ub')`` form.
+
+    Returns ``(lp', transform)``.  ``lp'`` may still have free variables
+    (doubly-infinite bounds) — those are left for
+    :func:`split_free_variables`; every other variable ends with lb = 0
+    and a possibly-finite upper bound for the bounded ratio test.  This
+    is the native-bound lowering netlib LPs need (VERDICT r2 item 1);
+    the row-lowering fallback is :func:`lower_bounds_to_rows`.
+    """
+    n = lp.n_vars
+    lb, ub = lp.lb, lp.ub
+    flip = np.isneginf(lb) & np.isfinite(ub)      # x = ub - x'
+    shift = np.where(flip, ub, np.where(np.isfinite(lb), lb, 0.0))
+    sign = np.where(flip, -1.0, 1.0)
+    tr = BoundsTransform(shift=shift, sign=sign,
+                         z_offset=float(lp.c @ shift))
+    if tr.identity:
+        return lp, tr
+
+    A2 = lp.A * sign[None, :]
+    b2 = lp.b - lp.A @ shift
+    c2 = lp.c * sign
+    lb2 = np.where(np.isfinite(lb), 0.0, np.where(flip, 0.0, -np.inf))
+    ub2 = np.where(flip, np.inf,
+                   np.where(np.isfinite(ub), ub - shift, np.inf))
+    lp2 = LinearProgram(c=c2, A=A2, b=b2, ops=lp.ops.copy(),
+                        maximize=lp.maximize,
+                        variables=list(lp.variables), lb=lb2, ub=ub2)
+    return lp2, tr
+
+
+def lower_bounds_to_rows(lp: LinearProgram) -> LinearProgram:
+    """Lower finite bounds onto dense constraint rows (fallback path).
+
+    For engines without a bounded ratio test (the dense tableau kernels):
+    each finite nonzero lb becomes a ``x_j >= lb`` row, each finite ub a
+    ``x_j <= ub`` row (lb == ub collapses to one ``=`` row).  Free marks
+    (lb = -inf) are preserved for the x = x+ - x- split.  This is exactly
+    what ``utils/mps.py`` did for every MPS bound before native bounds
+    existed — now it is an explicit, per-engine choice.
+    """
+    if not lp.has_finite_bounds:
+        return lp
+    n = lp.n_vars
+    rows: List[Tuple[int, int, float]] = []        # (col, op, rhs)
+    for j in range(n):
+        l, u = lp.lb[j], lp.ub[j]
+        if np.isfinite(l) and np.isfinite(u) and l == u:
+            rows.append((j, OP_EQ, float(l)))
+            continue
+        if np.isfinite(l) and l != 0.0:
+            rows.append((j, OP_GE, float(l)))
+        if np.isfinite(u):
+            rows.append((j, OP_LE, float(u)))
+    unit = np.eye(n)
+    A2 = np.vstack([lp.A] + [unit[j][None, :] for j, _, _ in rows])
+    ops2 = np.concatenate([lp.ops, np.array([op for _, op, _ in rows],
+                                            dtype=np.int8)])
+    b2 = np.concatenate([lp.b, np.array([r for _, _, r in rows])])
+    # A negative finite lb (or a bound row pinning x below 0) needs the
+    # sign restriction itself relaxed: mark the variable free so the
+    # x = x+ - x- split lets it go negative (the bound ROW now enforces
+    # the actual lower limit) — the same convention the MPS reader used
+    # when it lowered every bound to rows.
+    lb2 = np.where(np.isneginf(lp.lb) | (lp.lb < 0.0)
+                   | (np.isfinite(lp.ub) & (lp.ub < 0.0)),
+                   -np.inf, 0.0)
+    return LinearProgram(c=lp.c.copy(), A=A2, b=b2, ops=ops2,
+                         maximize=lp.maximize,
+                         variables=list(lp.variables), lb=lb2)
 
 
 @dataclasses.dataclass
@@ -201,6 +383,11 @@ class StandardForm:
     n_rows: int                # real constraint rows (unpadded)
     n_cols: int                # real columns incl. artificials (unpadded)
     maximize: bool
+    # (N_pad,) float64 upper bounds per column: the LP's ub on decision
+    # columns, +inf on slack/artificial/padding.  Consumed by bound-aware
+    # engines (bounded ratio test in models/revised.py); None when the LP
+    # had no finite bounds (all-+inf — the classic simplex special case).
+    ub_ext: Optional[np.ndarray] = None
 
     @property
     def m_pad(self) -> int:
@@ -214,18 +401,31 @@ class StandardForm:
 def compile_standard_form(lp: LinearProgram,
                           row_pad: int = 8,
                           col_pad: int = 8,
-                          dtype=np.float32) -> StandardForm:
+                          dtype=np.float32,
+                          bounded: bool = False) -> StandardForm:
     """Compile an LP into a padded two-phase simplex tableau.
 
     Covers the same constraint canonicalization the reference performs for
     scipy (``solver_controller.py:141-163``: ``<=`` kept, ``>=`` and ``=``
     handled, implicit ``x >= 0`` bounds), but emits a self-contained tableau
     with slack/surplus/artificial columns instead of scipy's A_ub/A_eq split.
+
+    ``bounded=True`` accepts LPs with finite upper bounds (lb must already
+    be normalized to 0 via :func:`normalize_bounds`) and emits ``ub_ext``
+    for the bounded ratio test; by default finite bounds are an error so
+    bound-unaware engines can never silently drop them.
     """
     if lp.has_free:
         raise ValueError(
             "compile_standard_form requiere un LP con x >= 0; aplique "
             "split_free_variables primero (x = x+ - x-).")
+    if lp.has_finite_bounds and not bounded:
+        raise ValueError(
+            "El LP tiene cotas finitas; use bounded=True (motor con "
+            "ratio test acotado) o lower_bounds_to_rows primero.")
+    if bounded and np.any(lp.lb != 0.0):
+        raise ValueError(
+            "bounded=True requiere lb = 0 (aplique normalize_bounds).")
     m, n = lp.n_cons, lp.n_vars
     A = lp.A.copy()
     b = lp.b.copy()
@@ -309,7 +509,13 @@ def compile_standard_form(lp: LinearProgram,
     obj_row_p1 = np.zeros((n_pad + 1,), dtype=np.float64)
     obj_row_p1[art_cols] = 1.0
 
+    ub_ext = None
+    if bounded and np.any(np.isfinite(lp.ub)):
+        ub_ext = np.full((n_pad,), np.inf, dtype=np.float64)
+        ub_ext[:n] = lp.ub
+
     return StandardForm(
+        ub_ext=ub_ext,
         tableau=T.astype(dtype),
         basis=basis,
         col_mask_p1=col_mask_p1,

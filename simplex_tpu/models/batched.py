@@ -29,6 +29,7 @@ from ..core.problem import (
     LinearProgram,
     STATUS_OPTIMAL,
     compile_standard_form,
+    lower_bounds_to_rows,
     merge_free_solution,
     split_free_variables,
 )
@@ -376,6 +377,11 @@ class BatchedSimplexSolver:
             f"solve_many requires a uniform variable count, got {n_vars}"
         )
         n_user = lps[0].n_vars
+        if any(lp.has_finite_bounds for lp in lps):
+            # The batched tableau kernel is bound-unaware: lower finite
+            # bounds onto rows per instance (native bounds live in the
+            # revised engine; see core.problem.lower_bounds_to_rows).
+            lps = [lower_bounds_to_rows(lp) for lp in lps]
         free_maps = None
         if any(lp.has_free for lp in lps):
             # Lower free variables per instance (x = x+ - x-).  The split
@@ -463,7 +469,8 @@ def solve_lp_sweep(lps: Sequence[LinearProgram],
     buckets = defaultdict(list)
     solver = BatchedSimplexSolver(config)
     for idx, lp in enumerate(lps):
-        sf = compile_standard_form(split_free_variables(lp)[0])
+        sf = compile_standard_form(
+            split_free_variables(lower_bounds_to_rows(lp))[0])
         buckets[(lp.n_vars, sf.m_pad, sf.n_pad)].append(idx)
 
     results = [None] * len(lps)

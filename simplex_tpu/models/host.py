@@ -18,6 +18,7 @@ from ..core.problem import (
     LinearProgram,
     STATUS_MESSAGES,
     STATUS_OPTIMAL,
+    lower_bounds_to_rows,
     merge_free_solution,
     split_free_variables,
 )
@@ -34,6 +35,10 @@ class HostSimplexSolver:
 
     def solve(self, lp: LinearProgram) -> SimplexResult:
         t0 = time.perf_counter()
+        if lp.has_finite_bounds:
+            # The C++ engine is bound-unaware — lower bounds onto rows
+            # (native bounds live in the revised engine).
+            return self.solve(lower_bounds_to_rows(lp))
         if lp.has_free:
             lp2, fidx = split_free_variables(lp)
             res = self.solve(lp2)

@@ -20,7 +20,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import SolverConfig, DEFAULT_CONFIG
-from ..core.problem import LinearProgram, StandardForm, compile_standard_form
+from ..core.problem import (LinearProgram, StandardForm,
+                            compile_standard_form, lower_bounds_to_rows,
+                            split_free_variables)
 from ..ops import tableau as tableau_ops
 
 
@@ -31,8 +33,12 @@ def compute_pivot_history(lp: LinearProgram,
 
     History capture is a presentation feature for small problems (the
     reference's Plan-B tableau display); the tableau snapshots are cropped
-    to real rows/columns before being returned.
+    to real rows/columns before being returned.  Finite variable bounds
+    display as explicit bound rows (the tableau is the pedagogical object
+    here — the row form is what a textbook two-phase tableau shows);
+    free variables display through the x = x+ - x- split columns.
     """
+    lp = split_free_variables(lower_bounds_to_rows(lp))[0]
     sf = compile_standard_form(lp)
     steps = int(max_steps or config.max_history)
     # Same pricing (devex/dantzig + stall-gated Bland) and the same phase-1

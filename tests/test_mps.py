@@ -13,7 +13,9 @@ from scipy.optimize import linprog
 
 from simplex_tpu import solve_lp
 from simplex_tpu.core.problem import (
+    lower_bounds_to_rows,
     merge_free_solution,
+    normalize_bounds,
     split_free_variables,
 )
 from simplex_tpu.models.batched import solve_lp_batch
@@ -87,7 +89,9 @@ def _scipy_ref(lp):
             A_ub.append(-lp.A[i]); b_ub.append(-lp.b[i])
         else:
             A_eq.append(lp.A[i]); b_eq.append(lp.b[i])
-    bounds = [(None, None) if f else (0, None) for f in lp.free]
+    bounds = [(None if np.isneginf(l) else float(l),
+               None if np.isinf(u) else float(u))
+              for l, u in zip(lp.lb, lp.ub)]
     cs = -lp.c if lp.maximize else lp.c
     return linprog(cs, A_ub=A_ub or None, b_ub=b_ub or None,
                    A_eq=A_eq or None, b_eq=b_eq or None,
@@ -97,11 +101,14 @@ def _scipy_ref(lp):
 def test_parse_mps_structure():
     lp = parse_mps(TESTPROB)
     assert lp.n_vars == 3
-    # 3 rows + UP bound row + LO bound row
-    assert lp.n_cons == 5
-    assert lp.ops.tolist() == [-1, 1, 0, -1, 1]
+    # Bounds are NATIVE now (no extra rows): m is the structural row count.
+    assert lp.n_cons == 3
+    assert lp.ops.tolist() == [-1, 1, 0]
     assert lp.c.tolist() == [1.0, 2.0, -1.0]
     assert not lp.has_free
+    assert lp.has_finite_bounds
+    assert lp.ub.tolist() == [4.0, np.inf, np.inf]
+    assert lp.lb.tolist() == [0.0, 1.0, 0.0]
 
 
 def test_parse_mps_solve_matches_scipy():
@@ -115,10 +122,13 @@ def test_parse_mps_solve_matches_scipy():
 def test_parse_mps_free_bound_vocabulary():
     lp = parse_mps(NLFREE1)
     assert lp.n_vars == 5
-    # X1 bounded [0,4]; X2 LO -3 → free; X3 FR; X4 MI; X5 negative-UP quirk.
-    assert lp.free.tolist() == [False, True, True, True, True]
-    # Rows: CAP + DEMAND + BAL + CAP range + UP(X1) + LO(X2) + UP(X5).
-    assert lp.n_cons == 7
+    # X1 bounded [0,4]; X2 LO -3 (finite, NOT free); X3 FR; X4 MI;
+    # X5 negative-UP quirk → lb=-inf.
+    assert lp.free.tolist() == [False, False, True, True, True]
+    assert lp.lb.tolist() == [0.0, -3.0, -np.inf, -np.inf, -np.inf]
+    assert lp.ub.tolist() == [4.0, np.inf, np.inf, np.inf, -1.0]
+    # Rows: CAP + DEMAND + BAL + CAP range — bounds are native, not rows.
+    assert lp.n_cons == 4
 
 
 def test_nlfree1_parity_dense_revised_host():
@@ -141,7 +151,11 @@ def test_nlfree1_parity_dense_revised_host():
 
 
 def test_split_free_roundtrip_unit():
-    lp = parse_mps(NLFREE1)
+    # split requires ub=+inf on free vars: lower the finite bounds first
+    # (X5's negative-UP bound becomes a row and the var goes free).
+    lp0 = parse_mps(NLFREE1)
+    lp = lower_bounds_to_rows(lp0)
+    assert not lp.has_finite_bounds
     lp2, fidx = split_free_variables(lp)
     assert not lp2.has_free
     assert lp2.n_vars == lp.n_vars + int(np.sum(lp.free))
@@ -156,6 +170,12 @@ def test_split_free_roundtrip_unit():
     x_split = np.concatenate([np.maximum(x_user, 0.0),
                               np.maximum(-x_user[fidx], 0.0)])
     assert lp.c @ x_user == pytest.approx(lp2.c @ x_split)
+
+
+def test_split_free_rejects_finite_ub_on_free():
+    lp = parse_mps(NLFREE1)          # X5: lb=-inf, ub=-1 (finite)
+    with pytest.raises(ValueError, match="normalize_bounds"):
+        split_free_variables(lp)
 
 
 def test_batched_free_parity():
