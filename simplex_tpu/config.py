@@ -74,6 +74,12 @@ class SolverConfig:
     dtype: str = "float32"
     refine: bool = True
 
+    # f64-certify BATCHED/SHARDED verdicts (batched LU KKT check of every
+    # claimed-optimal basis + exact host re-solve of untrusted instances,
+    # models/certify.py).  Single-LP paths always certify regardless; this
+    # flag exists so throughput benchmarks can measure the raw device loop.
+    certify: bool = True
+
     # Wall-clock budget (seconds) honoured by host-side drivers; mirrors the
     # reference's 10 s scipy time_limit.
     time_limit: Optional[float] = 10.0
@@ -118,6 +124,7 @@ class SolverConfig:
             max_iters=_env_int("SIMPLEX_TPU_MAX_ITERS", d.max_iters),
             dtype=os.environ.get("SIMPLEX_TPU_DTYPE", d.dtype),
             refine=_env_bool("SIMPLEX_TPU_REFINE", d.refine),
+            certify=_env_bool("SIMPLEX_TPU_CERTIFY", d.certify),
             time_limit=(float(time_limit_s) if time_limit_s
                         else d.time_limit),
             max_history=_env_int("SIMPLEX_TPU_MAX_HISTORY", d.max_history),

@@ -52,10 +52,21 @@ class BatchResult:
     nit: int               # shared loop trip count
     pivots: Optional[np.ndarray] = None  # (B,) per-instance pivot counts
     solve_time: float = 0.0
+    basis: Optional[np.ndarray] = None   # (B, m_pad) final basis columns
+    # f64 certification (None when config.certify is off): certified[i] is
+    # True iff instance i's verdict passed the host f64 KKT check — directly
+    # for device optima, or via exact host re-solve for escalated instances
+    # (models/certify.py).  escalated[i] marks the re-solved ones.
+    certified: Optional[np.ndarray] = None
+    escalated: Optional[np.ndarray] = None
 
     @property
     def n_optimal(self) -> int:
         return int(np.sum(self.status == STATUS_OPTIMAL))
+
+    @property
+    def n_escalated(self) -> int:
+        return 0 if self.escalated is None else int(np.sum(self.escalated))
 
 
 @dataclasses.dataclass
@@ -316,7 +327,7 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         jnp.asarray(cb.col_mask_p1), jnp.asarray(cb.col_mask_p2),
         jnp.asarray(cb.obj_row_p1), jnp.asarray(cb.obj_row_p2),
         jnp.asarray(cb.need_p1),
-        tol=max(config.tol, 1e-6),
+        tol=_batch_tol(config, cb.T0.dtype),
         max_iters=int(max_iters),
         bland_after=int(bland_after),
         refactor_every=int(config.refactor_every or max(64, m_pad // 8)),
@@ -338,7 +349,78 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         nit=int(iters),
         pivots=np.asarray(pivots),
         solve_time=time.perf_counter() - t0,
+        basis=np.asarray(basis),
     )
+
+
+def _batch_tol(config: SolverConfig, dtype) -> float:
+    """Working tolerance for the batched kernel, dtype-aware.
+
+    f32 can't separate progress from round-off below ~1e-6, so the floor
+    protects it; a float64 batch honours ``config.tol`` exactly like the
+    dense path (``models/dense.py`` scales tol by dtype the same way).
+    """
+    if np.dtype(dtype) == np.float64:
+        return float(config.tol)
+    return float(max(config.tol, 1e-6))
+
+
+def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
+                           row_pad: int = 8, col_pad: int = 128,
+                           align_total: bool = True, tol: float = 1e-7,
+                           chunk: int = 8192) -> BatchResult:
+    """f64-certify a uniform-batch result in place (models/certify.py).
+
+    Recompiles the standard form in float64 per ``chunk`` of instances
+    (bounded host memory even at 1M-instance sweeps), runs the batched KKT
+    check against the exact data, and escalates every untrusted verdict to
+    the exact host engine.  The layout parameters must match the solve.
+    """
+    from .certify import certify_and_escalate
+
+    c = np.asarray(c, np.float64)
+    A = np.asarray(A, np.float64)
+    b = np.asarray(b, np.float64)
+    ops = np.asarray(ops)
+    B = A.shape[0]
+    maximize = np.broadcast_to(np.asarray(maximize, bool), (B,))
+    certified = np.zeros((B,), bool)
+    escalated = np.zeros((B,), bool)
+    # Result arrays may be zero-copy views of device buffers (read-only).
+    res.status = np.array(res.status)
+    res.x = np.array(res.x)
+    res.fun = np.array(res.fun)
+    res.z = np.array(res.z)
+    for start in range(0, B, chunk):
+        end = min(start + chunk, B)
+        cb64 = compile_batch_uniform(
+            c[start:end], A[start:end], b[start:end], ops,
+            maximize[start:end], row_pad=row_pad, col_pad=col_pad,
+            dtype=np.float64, align_total=align_total)
+        m_pad = cb64.basis.shape[1]
+        n_pad = cb64.col_mask_p1.shape[1]
+
+        def mk(i, _s=start):
+            return LinearProgram(c=c[_s + i], A=A[_s + i], b=b[_s + i],
+                                 ops=ops, maximize=bool(maximize[_s + i]))
+
+        fix = certify_and_escalate(
+            res.status[start:end], res.basis[start:end],
+            cb64.T0[:, :m_pad, :n_pad], cb64.T0[:, :m_pad, n_pad],
+            cb64.obj_row_p2[:, :n_pad],
+            cb64.col_mask_p1 & ~cb64.col_mask_p2, cb64.col_mask_p2,
+            mk, maximize[start:end], cb64.n_vars, tol=tol,
+            c1_std=cb64.obj_row_p1[:, :n_pad], mask_p1=cb64.col_mask_p1)
+        certified[start:end] = fix["certified"]
+        escalated[start:end] = fix["escalated"]
+        res.status[start:end] = fix["status"]
+        res.x[start:end] = fix["x"]
+        res.fun[start:end] = fix["fun"]
+        res.z[start:end] = fix["z"]
+    res.success = res.status == STATUS_OPTIMAL
+    res.certified = certified
+    res.escalated = escalated
+    return res
 
 
 class BatchedSimplexSolver:
@@ -353,13 +435,19 @@ class BatchedSimplexSolver:
 
         Standard-form assembly happens ON DEVICE
         (:func:`compile_batch_on_device`) — the host ships raw (c, A, b)
-        only, so large sweeps aren't bottlenecked on numpy assembly.
+        only, so large sweeps aren't bottlenecked on numpy assembly.  When
+        ``config.certify`` is on (default), every verdict is then f64-KKT
+        checked against the exact data and untrusted ones re-solved by the
+        exact host engine — the same guarantee single-LP solves carry.
         """
         cb = compile_batch_on_device(
             c, A, b, ops, maximize,
             dtype=np.dtype(dtype or self.config.dtype),
         )
-        return self._solve_compiled(cb)
+        res = self._solve_compiled(cb)
+        if self.config.certify:
+            res = certify_uniform_result(res, c, A, b, ops, maximize)
+        return res
 
     def _solve_compiled(self, cb: CompiledBatch) -> BatchResult:
         return _run_batch(cb, self.config)
@@ -391,17 +479,19 @@ class BatchedSimplexSolver:
             lps = [p[0] for p in pairs]
             free_maps = [p[1] for p in pairs]
         dtype = np.dtype(self.config.dtype)
-        sfs = [compile_standard_form(lp) for lp in lps]
+        # Compile in f64: the same arrays feed both the (cast) device batch
+        # and the f64 certification pass — one standard-form build, two uses.
+        sfs = [compile_standard_form(lp, dtype=np.float64) for lp in lps]
         m_pad = max(sf.m_pad for sf in sfs)
         n_pad = max(sf.n_pad for sf in sfs)
         B = len(sfs)
 
-        T0 = np.zeros((B, m_pad + 1, n_pad + 1), dtype)
+        T0 = np.zeros((B, m_pad + 1, n_pad + 1), np.float64)
         basis = np.zeros((B, m_pad), np.int32)
         cm1 = np.zeros((B, n_pad), bool)
         cm2 = np.zeros((B, n_pad), bool)
-        o1 = np.zeros((B, n_pad + 1), dtype)
-        o2 = np.zeros((B, n_pad + 1), dtype)
+        o1 = np.zeros((B, n_pad + 1), np.float64)
+        o2 = np.zeros((B, n_pad + 1), np.float64)
         need = np.zeros((B,), bool)
         for i, sf in enumerate(sfs):
             mp, np_ = sf.m_pad, sf.n_pad
@@ -432,12 +522,26 @@ class BatchedSimplexSolver:
                 T0[i, m_pad, n_pad] = sf.obj_row_p2[np_]
 
         cb = CompiledBatch(
-            T0=T0, basis=basis, col_mask_p1=cm1, col_mask_p2=cm2,
-            obj_row_p1=o1, obj_row_p2=o2, need_p1=need,
+            T0=T0.astype(dtype), basis=basis, col_mask_p1=cm1,
+            col_mask_p2=cm2, obj_row_p1=o1.astype(dtype),
+            obj_row_p2=o2.astype(dtype), need_p1=need,
             n_vars=max(sf.n_vars for sf in sfs),
             maximize=np.array([lp.maximize for lp in lps]),
         )
         res = self._solve_compiled(cb)
+        if self.config.certify:
+            from .certify import certify_and_escalate
+
+            fix = certify_and_escalate(
+                res.status, res.basis,
+                T0[:, :m_pad, :n_pad], T0[:, :m_pad, n_pad],
+                o2[:, :n_pad], cm1 & ~cm2, cm2,
+                lambda i: lps[i], cb.maximize, cb.n_vars,
+                c1_std=o1[:, :n_pad], mask_p1=cm1)
+            res = dataclasses.replace(
+                res, status=fix["status"], x=fix["x"], fun=fix["fun"],
+                z=fix["z"], success=fix["status"] == STATUS_OPTIMAL,
+                certified=fix["certified"], escalated=fix["escalated"])
         if free_maps is not None:
             merged = np.stack([
                 merge_free_solution(res.x[i], n_user, free_maps[i])
@@ -513,7 +617,7 @@ def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
         dev_args = [jnp.asarray(x) for x in
                     (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
                      cb.obj_row_p1, cb.obj_row_p2, cb.need_p1)]
-        return cb, dev_args
+        return cb, dev_args, batch
 
     it = iter(batches)
     try:
@@ -528,10 +632,11 @@ def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
     refactor_every = int(config.refactor_every or max(64, m_pad // 8))
 
     while current is not None:
-        cb, dev_args = current
+        cb, dev_args, raw = current
         t0 = _time.perf_counter()
         out = batched_ops.solve_tableau_batch(
-            *dev_args, tol=max(config.tol, 1e-6), max_iters=int(max_iters),
+            *dev_args, tol=_batch_tol(config, np.dtype(config.dtype)),
+            max_iters=int(max_iters),
             bland_after=int(bland_after), refactor_every=refactor_every,
             backend=config.batched_backend,
             devex=config.pivot_rule == "devex",
@@ -549,7 +654,7 @@ def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
         status = np.asarray(status)
         z = np.where(cb.maximize, -fun, fun) + 0.0
         ok = status == STATUS_OPTIMAL
-        yield BatchResult(
+        res = BatchResult(
             x=np.where(ok[:, None], x, np.nan),
             z=np.where(ok, z, np.nan),
             fun=np.where(ok, fun, np.nan),
@@ -558,4 +663,12 @@ def solve_arrays_stream(batches, config: SolverConfig = DEFAULT_CONFIG,
             nit=int(iters),
             pivots=np.asarray(pivots),
             solve_time=_time.perf_counter() - t0,
+            basis=np.asarray(basis),
         )
+        if config.certify:
+            # Certification runs on host AFTER the next batch's solve was
+            # dispatched, so it overlaps device work like staging does.
+            rc, rA, rb, rops = raw
+            res = certify_uniform_result(res, rc, rA, rb, rops,
+                                         cb.maximize)
+        yield res

@@ -463,6 +463,67 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
     return (st, basis, nit)
 
 
+def solve_lp_host_exact(lp: LinearProgram,
+                        config: SolverConfig = DEFAULT_CONFIG
+                        ) -> SimplexResult:
+    """Exact host-f64 solve — no device round-trip.
+
+    The escalation target for the batched/sharded paths: when a batch
+    instance's f32 verdict fails certification (or claims infeasible /
+    unbounded / iteration-limit), re-running the whole f32 device pipeline
+    per instance would just repeat the untrusted computation.  This goes
+    straight to the same host f64 reference engine + single-LU finalization
+    that :func:`solve_lp` escalates through, so a batch verdict and a
+    single-LP verdict end up certified by the identical machinery.
+    """
+    t0 = time.perf_counter()
+    if lp.has_finite_bounds:
+        res = solve_lp_host_exact(lower_bounds_to_rows(lp), config)
+        res.solve_time = time.perf_counter() - t0
+        return res
+    if lp.has_free:
+        lp2, fidx = split_free_variables(lp)
+        res = solve_lp_host_exact(lp2, config)
+        if res.x is not None:
+            res.x = merge_free_solution(res.x, lp.n_vars, fidx)
+        if res.reduced_costs is not None:
+            res.reduced_costs = res.reduced_costs[: lp.n_vars]
+        return res
+    if lp.n_cons == 0:
+        c_min = -lp.c if lp.maximize else lp.c
+        if np.any(c_min < 0):
+            return SimplexResult(x=None, fun=None, status=3, success=False,
+                                 message=STATUS_MESSAGES[3], nit=0)
+        x = np.zeros((lp.n_vars,))
+        return SimplexResult(x=x, fun=0.0, status=0, success=True,
+                             message=STATUS_MESSAGES[0], nit=0, z=0.0,
+                             solve_time=time.perf_counter() - t0)
+
+    sf64 = compile_standard_form(lp, dtype=np.float64)
+    status, basis, nit = _host_simplex_f64(sf64)
+    if status != STATUS_OPTIMAL:
+        return SimplexResult(
+            x=None, fun=None, status=status, success=False,
+            message=STATUS_MESSAGES.get(status, "Unknown status."),
+            nit=nit, basis=basis, solve_time=time.perf_counter() - t0)
+    certified, x_full, duals, reduced = _finalize_on_host(
+        sf64, lp, basis, sf64=sf64)
+    if x_full is None:
+        return SimplexResult(
+            x=None, fun=None, status=STATUS_ITERATION_LIMIT, success=False,
+            message=STATUS_MESSAGES[1], nit=nit, basis=basis,
+            solve_time=time.perf_counter() - t0)
+    x = np.maximum(x_full[: lp.n_vars], 0.0)
+    c_min = -lp.c if lp.maximize else lp.c
+    fun = float(c_min @ x)
+    return SimplexResult(
+        x=x, fun=fun, status=0, success=True,
+        message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=nit,
+        basis=np.asarray(basis), z=(-fun if lp.maximize else fun) + 0.0,
+        solve_time=time.perf_counter() - t0, duals=duals,
+        reduced_costs=reduced)
+
+
 def _try_warm_start(sf: StandardForm,
                     warm_basis: np.ndarray) -> Optional[StandardForm]:
     """Rebuild the tableau from a saved basis if it is primal-feasible.

@@ -230,22 +230,52 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         global_min = lax.pmin(local_min, axis)
         unbounded = (~optimal) & jnp.isinf(global_min)
 
+        # Harris two-pass row selection (default mode) — the single-chip
+        # kernels' stabilization (ops/tableau.py:73-87) ported across the
+        # mesh: pass 1 bounds the step by the tol-relaxed minimum ratio
+        # (one extra pmin), pass 2 admits rows whose exact ratio fits under
+        # the bound and prefers the LARGEST pivot element (one pmax).
+        # Tiny pivots are what turn f32 bases singular, and this kernel has
+        # the least drift control (Newton resync only), so it needs the
+        # stabilized choice most.  Artificial-exit rows get a value bonus
+        # that dominates any pivot magnitude, preserving
+        # "artificials leave first".
+        delta = tol * (1.0 + jnp.abs(rhs_loc))
+        theta_relax = jnp.where(
+            positive, (rhs_loc + delta) / jnp.where(positive, col_loc, 1.0),
+            jnp.inf)
+        theta_max = lax.pmin(jnp.min(theta_relax, axis=1), axis)
+        harris_cand = (positive & (ratios <= theta_max[:, None])) | art_exit
+        hval = jnp.where(
+            harris_cand,
+            jnp.abs(col_loc) + jnp.where(art_exit, jnp.asarray(1e30, dt),
+                                         jnp.asarray(0.0, dt)),
+            -jnp.inf)
+        hmax = lax.pmax(jnp.max(hval, axis=1), axis)
+        harris_rows = harris_cand & (hval == hmax[:, None])
+
+        # Bland (stall) mode: smallest-basis-index among near-minimal
+        # ratios — the row rule Bland's termination proof needs; the tie
+        # window stays at round-off scale.
         eps = jnp.finfo(dt).eps
         near = cand & (
             ratios <= (global_min
                        + 64.0 * eps * (1.0 + jnp.abs(global_min)))[:, None]
         )
-        # Bland tie-break on the global basis index; artificial rows get a
-        # large negative bonus so they win ties and leave the basis.
+        sel_cand = jnp.where(use_bland[:, None], near, harris_rows)
+        # Final unique-owner tie-break on the global basis index (basis
+        # columns are globally distinct per instance, so exactly one row
+        # survives); artificial rows get a large negative bonus so they win
+        # ties and leave the basis.
         key = jnp.where(
-            near,
+            sel_cand,
             basis_loc - jnp.where(is_art_row, _ART_BONUS, 0),
             _INT_MAX,
         )
         local_key = jnp.min(key, axis=1)
         global_key = lax.pmin(local_key, axis)
 
-        owner_rows = near & (
+        owner_rows = sel_cand & (
             (basis_loc - jnp.where(is_art_row, _ART_BONUS, 0))
             == global_key[:, None]
         )
@@ -432,12 +462,18 @@ def extract_solution_sharded(T_rows, basis, obj, row_valid, n_vars: int):
 def solve_arrays_sharded(c, A, b, ops, maximize=True, mesh: Mesh = None,
                          dtype=np.float32, tol: float = 1e-6,
                          max_iters: int = 4096, bland_after: int = 1024,
-                         refactor_every: int = 64, devex: bool = True):
+                         refactor_every: int = 64, devex: bool = True,
+                         certify: bool = True):
     """Convenience driver: uniform array batch → sharded solve → results.
 
     Pads the batch to the ``batch`` mesh axis and rows to a multiple of the
     ``row`` axis, places shards with ``jax.device_put``, runs the sharded
     kernel, and extracts per-instance solutions on device.
+
+    ``certify=True`` (default) routes every verdict through the same f64
+    KKT certification + exact-host escalation the batched path gets
+    (models/certify.py): the result dict gains ``certified``/``escalated``
+    masks, and no sharded status can disagree with an exact solve.
     """
     from ..models.batched import compile_batch_uniform
 
@@ -498,11 +534,41 @@ def solve_arrays_sharded(c, A, b, ops, maximize=True, mesh: Mesh = None,
     x = np.maximum(x[:B], 0.0)
     fun = z_min[:B]
     status = np.asarray(status)[:B]
-    z = np.where(np.asarray(cb.maximize[:B]), -fun, fun) + 0.0
+    maxi = np.asarray(cb.maximize[:B])
+    z = np.where(maxi, -fun, fun) + 0.0
     ok = status == STATUS_OPTIMAL
-    return {
+    out = {
         "x": np.where(ok[:, None], x, np.nan),
         "z": np.where(ok, z, np.nan),
         "status": status,
         "iters": int(iters),
     }
+    if certify:
+        # Same f64 safety net as the batched path: rebuild the standard
+        # form in float64 with the SAME layout (align_total=False,
+        # row_pad=n_row), batched-LU KKT check, exact host escalation.
+        from ..models.certify import certify_and_escalate
+
+        cb64 = compile_batch_uniform(
+            c[:B], A[:B], b[:B], ops, maxi, row_pad=n_row,
+            dtype=np.float64, align_total=False)
+        basis_np = np.asarray(basis_out)[:B]
+        n_pad_cols = cb64.col_mask_p1.shape[1]
+
+        def mk(i):
+            from ..core.problem import LinearProgram
+            return LinearProgram(c=c[i], A=A[i], b=b[i], ops=ops,
+                                 maximize=bool(maxi[i]))
+
+        fix = certify_and_escalate(
+            status, basis_np,
+            cb64.T0[:, :m_pad, :n_pad_cols], cb64.T0[:, :m_pad, n_pad_cols],
+            cb64.obj_row_p2[:, :n_pad_cols],
+            cb64.col_mask_p1 & ~cb64.col_mask_p2, cb64.col_mask_p2,
+            mk, maxi, cb64.n_vars,
+            c1_std=cb64.obj_row_p1[:, :n_pad_cols],
+            mask_p1=cb64.col_mask_p1)
+        out.update(
+            x=fix["x"], z=fix["z"], status=fix["status"],
+            certified=fix["certified"], escalated=fix["escalated"])
+    return out

@@ -117,6 +117,57 @@ def test_sharded_tall_two_phase_matches_batched_and_scipy():
 
 
 @needs_8
+def test_sharded_verdicts_are_certified():
+    """VERDICT r2 item 2/5: sharded results carry f64 certification — every
+    optimum KKT-checked, untrusted claims escalated to the exact host
+    engine — so no sharded status can disagree with an exact solve."""
+    mesh = make_mesh(batch=2, row=4)
+    rng = np.random.default_rng(21)
+    B, m, n = 8, 10, 6
+    A = rng.normal(size=(B, m, n)).round(2)
+    b = rng.uniform(-2, 8, size=(B, m)).round(2)
+    c = rng.normal(size=(B, n)).round(2)
+    ops = rng.choice([-1, 0, 1], size=m)
+    res = solve_arrays_sharded(c, A, b, ops, maximize=False, mesh=mesh)
+    assert "certified" in res and "escalated" in res
+    for i in range(B):
+        ref = _scipy_ref(c[i], A[i], b[i], ops, False)
+        assert ref.status == res["status"][i], i
+        if ref.status == 0:
+            assert res["z"][i] == pytest.approx(ref.fun, rel=1e-6, abs=1e-6)
+        assert res["certified"][i] or res["status"][i] == 1
+    # And certification is skippable for raw-throughput benchmarking.
+    raw = solve_arrays_sharded(c, A, b, ops, maximize=False, mesh=mesh,
+                               certify=False)
+    assert "certified" not in raw
+
+
+@needs_8
+def test_sharded_16k_rows_on_8way_row_mesh():
+    """VERDICT r2 item 5 acceptance: a ≥16k-row LP on a (1,8) mesh.
+
+    2048 rows per device; few pivots by construction (interior b keeps the
+    initial slack basis near-optimal) so the mechanism test stays fast —
+    the point is exercising the collectives + Harris window at a row count
+    where per-device blocks are genuinely large.  Certification is off
+    here (an m=16k f64 LU costs ~45 s of host LAPACK and the certification
+    machinery is pinned by the other tests); the Newton-polished device
+    answer itself must match scipy."""
+    mesh = make_mesh(batch=1, row=8)
+    rng = np.random.default_rng(33)
+    B, m, n = 1, 16384, 8
+    A = rng.uniform(0.05, 1.0, size=(B, m, n))
+    b = rng.uniform(m * 0.3, m * 0.6, size=(B, m))
+    c = rng.uniform(0.1, 1.0, size=(B, n))
+    ops = np.full((m,), -1)
+    res = solve_arrays_sharded(c, A, b, ops, maximize=True, mesh=mesh,
+                               max_iters=64, certify=False)
+    assert res["status"][0] == 0
+    ref = _scipy_ref(c[0], A[0], b[0], ops, True)
+    assert res["z"][0] == pytest.approx(-ref.fun, rel=1e-5, abs=1e-5)
+
+
+@needs_8
 def test_graft_entry_and_dryrun():
     import importlib.util
     import os
