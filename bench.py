@@ -80,10 +80,26 @@ def bench_pivot_update(size: int, iters: int):
 
     @jax.jit
     def stream(T):
+        # In-place stream: the scan carry is dead after each step, so XLA
+        # donates the buffer — every pass re-reads and re-writes the SAME
+        # HBM region, exactly like the production pivot loop's donated
+        # while_loop carry.
         def body(T, _):
             return T * 1.000001 + 0.000001, None
         T, _ = lax.scan(body, T, None, length=iters)
         return jnp.sum(T)
+
+    @jax.jit
+    def pingpong(A, B):
+        # Out-of-place stream: both buffers stay live in the carry, so each
+        # step must read one HBM region and write a DIFFERENT one.  On v5e
+        # this mode runs ~1.7x slower than in-place — a memory-system
+        # property both compilers reproduce (see ceiling note below).
+        def body(carry, _):
+            A, B = carry
+            return (A * 1.000001 + 0.000001, A), None
+        (A, B), _ = lax.scan(body, (A, B), None, length=iters)
+        return jnp.sum(A) + jnp.sum(B)
 
     float(run(T, basis, rs)[0])  # compile + warm
     t0 = time.perf_counter()
@@ -95,20 +111,33 @@ def bench_pivot_update(size: int, iters: int):
     float(stream(T))
     dt_stream = (time.perf_counter() - t0) / iters
 
-    pallas_gbps = _pallas_stream_gbps(T, iters)
+    U = T * 0.5
+    float(pingpong(T, U))
+    t0 = time.perf_counter()
+    float(pingpong(T, U))
+    dt_pp = (time.perf_counter() - t0) / iters
+
+    pallas_in = _pallas_stream_gbps(T, iters, inplace=True)
+    pallas_out = _pallas_stream_gbps(T, iters, inplace=False)
 
     bytes_moved = 2.0 * (m + 1) * (n + 1) * 4  # read + write, f32
     gbps = bytes_moved / dt / 1e9
     stream_gbps = bytes_moved / dt_stream / 1e9
-    # Roofline denominator: the chip's ACHIEVABLE streaming bandwidth, as
-    # the MAX of two independent measurements of a pure read+write pass
-    # over the same array — one XLA-compiled, one a hand-written Pallas
-    # copy kernel that bypasses XLA's fusion/layout choices entirely.  Two
-    # compilers agreeing on the ceiling is the evidence that it is the
-    # hardware's limit, not an XLA artifact; no memcpy on any device
-    # reaches paper peak (vendor STREAM numbers on v5e land in the same
-    # 500-600 GB/s band).  The paper-peak fraction is still reported.
-    ceiling = max(stream_gbps, pallas_gbps or 0.0)
+    pp_gbps = bytes_moved / dt_pp / 1e9
+    # Roofline denominator: the chip's ACHIEVABLE streaming bandwidth in
+    # the access mode the pivot loop actually uses (in-place: the
+    # while_loop carry is donated).  The ceiling's credibility rests on
+    # FOUR measurements, two per compiler (XLA and Mosaic/Pallas, which
+    # shares none of XLA's fusion/layout pipeline):
+    #   in-place      XLA ~505 GB/s | Pallas aliased copy ~410 GB/s
+    #   out-of-place  XLA ~287 GB/s | Pallas copy         ~254 GB/s
+    # (v5e, 10240^2 f32).  Both compilers agree out-of-place to ~12% and
+    # reproduce the same ~1.7x in-place/out-of-place split, so the split
+    # is a memory-system property, not an XLA artifact; vendor STREAM
+    # figures for v5e land in the same 500-600 GB/s in-place band.  No
+    # memcpy on any device reaches paper peak; the paper-peak fraction is
+    # still reported.
+    ceiling = max(stream_gbps, pallas_in or 0.0)
     return {
         "metric": f"pivots_per_sec_{size}x{size}_f32",
         "value": round(1.0 / dt, 3),
@@ -120,24 +149,37 @@ def bench_pivot_update(size: int, iters: int):
             "hbm_peak_GBps": _hbm_peak(dev),
             "frac_of_hbm_peak": round(gbps / _hbm_peak(dev), 4),
             "empirical_stream_GBps": round(stream_gbps, 1),
-            "pallas_stream_GBps": (None if pallas_gbps is None
-                                   else round(pallas_gbps, 1)),
+            "xla_outofplace_GBps": round(pp_gbps, 1),
+            "pallas_stream_GBps": (None if pallas_in is None
+                                   else round(pallas_in, 1)),
+            "pallas_outofplace_GBps": (None if pallas_out is None
+                                       else round(pallas_out, 1)),
             "ceiling_GBps": round(ceiling, 1),
             "device": str(getattr(dev, "device_kind", dev)),
         },
     }
 
 
-def _pallas_stream_gbps(T, iters: int):
-    """XLA-independent streaming ceiling: a hand-written Pallas copy kernel.
+def _pallas_stream_gbps(T, iters: int, inplace: bool = True):
+    """XLA-independent streaming measurement: a hand-written Pallas kernel.
 
     Reads every block of ``T`` into VMEM and writes it back out (one HBM
     read + one write per element), chained ``iters`` times through the same
     scan harness as the pivot benchmark.  Mosaic schedules the HBM<->VMEM
     DMAs itself, so this measurement shares nothing with XLA's fusion or
-    layout pipeline — if it lands at the same GB/s as the XLA stream pass,
-    the ceiling is the hardware's, not the compiler's.  Returns None where
-    Pallas TPU lowering is unavailable (CPU CI).
+    layout pipeline.
+
+    ``inplace=True`` aliases the output onto the input buffer
+    (``input_output_aliases``) — the access mode of the production pivot
+    loop, whose donated while_loop carry re-writes the region it just
+    read.  ``inplace=False`` writes a fresh buffer each pass.  On v5e the
+    two modes differ by ~1.7x (410 vs 254 GB/s) and XLA reproduces the
+    same split (505 vs 287) — which is how we know the split is the
+    memory system's, not a compiler artifact.  (Block size barely matters:
+    64 to 448 rows measure within 2%; the original 287 GB/s reading in
+    BENCH_r02 was this kernel in OUT-OF-PLACE mode being compared against
+    XLA's IN-PLACE stream.)  Returns None where Pallas TPU lowering is
+    unavailable (CPU CI).
     """
     import jax
     import jax.numpy as jnp
@@ -151,12 +193,17 @@ def _pallas_stream_gbps(T, iters: int):
         # so measure the copy ceiling on the tile-rounded shape (within
         # ~1.3% of the same footprint — it is a ceiling measurement of the
         # HARDWARE, not of this exact array).
-        # Block rows sized so in+out blocks (double-buffered) fit the
-        # ~16 MB scoped-VMEM budget at 10k-wide rows.
         M = ((T.shape[0] + 63) // 64) * 64
         N = ((T.shape[1] + 127) // 128) * 128
         T = jnp.zeros((M, N), T.dtype) + 0.5
+        # Largest 8-aligned row block <= 448 that divides M (fill/drain and
+        # grid overhead shrink with block size; 448 rows x 10368 cols is
+        # ~18.6 MB, inside the raised scoped-VMEM budget).
         blk = 64
+        for cand in range(448, 8, -8):
+            if M % cand == 0:
+                blk = cand
+                break
 
         def copy_kernel(x_ref, o_ref):
             o_ref[...] = x_ref[...] + 1e-7
@@ -169,6 +216,10 @@ def _pallas_stream_gbps(T, iters: int):
             out_specs=pl.BlockSpec((blk, N), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, N), T.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=("arbitrary",)),
+            input_output_aliases=({0: 0} if inplace else {}),
         )
 
         @jax.jit
