@@ -91,10 +91,11 @@ def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
                           align_total: bool = True) -> CompiledBatch:
     """Vectorized standard-form compilation for a uniform-shape batch.
 
-    All instances share the constraint-operator vector ``ops`` (shape (m,)),
-    so the slack/artificial column layout is identical across the batch and
-    the whole tableau assembly is pure numpy broadcasting — no Python loop
-    over instances.  ``maximize`` may be a scalar or a (B,) bool array.
+    The column layout is uniform across the batch (slack i at n+i,
+    artificial i at n+m+i, dead slots masked per instance), so the whole
+    tableau assembly is pure numpy broadcasting — no Python loop over
+    instances.  ``ops`` may be a shared (m,) vector or per-instance
+    (B, m); ``maximize`` a scalar or a (B,) bool array.
     """
     c = np.asarray(c, np.float64)
     A = np.asarray(A, np.float64)
@@ -114,7 +115,8 @@ def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
     neg = b < 0                                    # (B, m)
     A = np.where(neg[:, :, None], -A, A)
     b = np.where(neg, -b, b)
-    ops_b = np.where(neg, -ops[None, :], ops[None, :])   # (B, m)
+    ops2 = ops if ops.ndim == 2 else ops[None, :]
+    ops_b = np.where(neg, -ops2, ops2)             # (B, m)
 
     # Column layout is operator-dependent and ops_b varies per instance when
     # rows were flipped, so build per-instance layouts via vectorized masks:
@@ -189,12 +191,12 @@ def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
     T[:, m_pad, :] = np.where(need_p1[:, None], obj1, obj_row_p2)
 
     return CompiledBatch(
-        T0=T.astype(dtype),
+        T0=T.astype(dtype, copy=False),
         basis=basis_full,
         col_mask_p1=col_mask_p1,
         col_mask_p2=col_mask_p2,
-        obj_row_p1=obj_row_p1.astype(dtype),
-        obj_row_p2=obj_row_p2.astype(dtype),
+        obj_row_p1=obj_row_p1.astype(dtype, copy=False),
+        obj_row_p2=obj_row_p2.astype(dtype, copy=False),
         need_p1=need_p1,
         n_vars=n,
         maximize=maximize,
@@ -249,7 +251,8 @@ def _assemble_batch_jit(c, A, b, ops, maximize,
     neg = b < 0
     A = jnp.where(neg[:, :, None], -A, A)
     b = jnp.where(neg, -b, b)
-    ops_b = jnp.where(neg, -ops[None, :], ops[None, :])
+    ops2 = ops if ops.ndim == 2 else ops[None, :]
+    ops_b = jnp.where(neg, -ops2, ops2)
 
     n_cols = n + m + m
     if align_total:
@@ -393,16 +396,19 @@ def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
     res.z = np.array(res.z)
     for start in range(0, B, chunk):
         end = min(start + chunk, B)
+        ops_chunk = ops if ops.ndim == 1 else ops[start:end]
         cb64 = compile_batch_uniform(
-            c[start:end], A[start:end], b[start:end], ops,
+            c[start:end], A[start:end], b[start:end], ops_chunk,
             maximize[start:end], row_pad=row_pad, col_pad=col_pad,
             dtype=np.float64, align_total=align_total)
         m_pad = cb64.basis.shape[1]
         n_pad = cb64.col_mask_p1.shape[1]
 
-        def mk(i, _s=start):
-            return LinearProgram(c=c[_s + i], A=A[_s + i], b=b[_s + i],
-                                 ops=ops, maximize=bool(maximize[_s + i]))
+        def mk(i, _s=start, _ops=ops_chunk):
+            return LinearProgram(
+                c=c[_s + i], A=A[_s + i], b=b[_s + i],
+                ops=_ops if _ops.ndim == 1 else _ops[i],
+                maximize=bool(maximize[_s + i]))
 
         fix = certify_and_escalate(
             res.status[start:end], res.basis[start:end],
@@ -559,31 +565,67 @@ def solve_lp_batch(lps: Sequence[LinearProgram],
 
 def solve_lp_sweep(lps: Sequence[LinearProgram],
                    config: SolverConfig = DEFAULT_CONFIG):
-    """Heterogeneous sweep: arbitrary LPs, bucketed by compiled shape.
+    """Heterogeneous sweep: arbitrary LPs, bucketed + solved on device.
 
-    Groups instances by (n_vars, padded shape) so each bucket compiles one
-    device program and solves as a batch, then returns per-LP results in
-    the ORIGINAL order as ``(x, z, status, success)`` tuples (x in the
-    instance's own variable order; None when not optimal).  This is the
-    production entry for "solve this pile of unrelated LPs fast"
-    (SURVEY.md §7: "bucketed compilation for the batch path").
+    The production entry for "solve this pile of unrelated LPs fast"
+    (SURVEY.md §7: "bucketed compilation for the batch path").  Per LP the
+    host does ONE cheap transform pass (bounds → rows, free → split) and
+    computes a bucket key from the RAW shape rounded up to a multiple of
+    8 — no standard-form compile, no per-instance tableau assembly.  Each
+    bucket pads its raw (c, A, b, ops) arrays to the bucket shape
+    (vacuous ``0'x <= 1`` rows, zero-cost zero columns) and goes through
+    :meth:`BatchedSimplexSolver.solve_arrays`, whose standard-form
+    assembly runs ON DEVICE — so a 100k mixed-shape sweep spends its time
+    on the chip, not in a numpy loop.  Certification (config.certify)
+    applies per bucket like any uniform batch.
+
+    Returns per-LP results in the ORIGINAL order as ``(x, z, status,
+    success)`` tuples (x in the instance's own variable order; None when
+    not optimal).
     """
     from collections import defaultdict
 
-    buckets = defaultdict(list)
     solver = BatchedSimplexSolver(config)
+    prepared = []                      # per lp: (lp_t, n_user, free_map)
+    buckets = defaultdict(list)
     for idx, lp in enumerate(lps):
-        sf = compile_standard_form(
-            split_free_variables(lower_bounds_to_rows(lp))[0])
-        buckets[(lp.n_vars, sf.m_pad, sf.n_pad)].append(idx)
+        lp_t = lower_bounds_to_rows(lp) if lp.has_finite_bounds else lp
+        fmap = None
+        if lp_t.has_free:
+            lp_t, fmap = split_free_variables(lp_t)
+        prepared.append((lp_t, lp.n_vars, fmap))
+        m_b = _round_up(max(lp_t.n_cons, 1), 8)
+        n_b = _round_up(lp_t.n_vars, 8)
+        buckets[(m_b, n_b)].append(idx)
 
     results = [None] * len(lps)
-    for key, indices in buckets.items():
-        res = solver.solve_many([lps[i] for i in indices])
+    for (m_b, n_b), indices in buckets.items():
+        Bk = len(indices)
+        c = np.zeros((Bk, n_b))
+        A = np.zeros((Bk, m_b, n_b))
+        # Vacuous padding rows: 0'x <= 1 (never binding, slack basic).
+        b = np.ones((Bk, m_b))
+        ops_b = np.full((Bk, m_b), OP_LE, np.int64)
+        maxi = np.zeros((Bk,), bool)
+        for k, i in enumerate(indices):
+            lp_t, _, _ = prepared[i]
+            m, n = lp_t.n_cons, lp_t.n_vars
+            c[k, :n] = lp_t.c
+            A[k, :m, :n] = lp_t.A
+            b[k, :m] = lp_t.b
+            ops_b[k, :m] = lp_t.ops
+            maxi[k] = lp_t.maximize
+        res = solver.solve_arrays(c, A, b, ops_b, maximize=maxi)
         for k, i in enumerate(indices):
             ok = bool(res.success[k])
+            lp_t, n_user, fmap = prepared[i]
+            x = None
+            if ok:
+                x = np.asarray(res.x[k][: lp_t.n_vars], np.float64)
+                if fmap is not None:
+                    x = merge_free_solution(x, n_user, fmap)
             results[i] = (
-                res.x[k] if ok else None,
+                x,
                 float(res.z[k]) if ok else None,
                 int(res.status[k]),
                 ok,

@@ -825,28 +825,50 @@ def reoptimize(lp: LinearProgram, basis: np.ndarray,
     if np.any(art_cols[basis]):
         return solve_lp(lp, config)
 
-    # Refactor the tableau for the new data under the old basis (f64 host).
-    T0 = sf.tableau.astype(np.float64)
-    rows = T0[:m_pad]
-    try:
-        T_rows = np.linalg.solve(rows[:, basis], rows)
-    except np.linalg.LinAlgError:
-        return solve_lp(lp, config)
-    if not np.all(np.isfinite(T_rows)):
-        return solve_lp(lp, config)
-    obj = sf.obj_row_p2.astype(np.float64).copy()
-    obj -= obj[basis] @ T_rows
     tol = float(config.tol if dtype == np.float64 else max(config.tol, 1e-6))
-    rc_ok = np.all(obj[:n_pad][sf.col_mask_p2] >= -10 * tol)
-    if not rc_ok:                       # costs changed too: not dual-feasible
-        return solve_lp(lp, config)
-
-    T = np.concatenate([T_rows, obj[None, :]], axis=0).astype(dtype)
     max_iters = min(config.max_iters, 50 * (m_pad + n_pad))
+    if 4096 < m_pad <= 8192:
+        # Large-m path: the O(m^3) + O(m^2 n) warm refactorization runs
+        # ON DEVICE (refactor_tableau — the same LU the dual loop's
+        # periodic drift control uses; its scoped-VMEM ceiling is
+        # ~m=11k).  Only the objective row (n_pad floats) returns to host
+        # for the dual-feasibility gate; the f64 certification below
+        # guards the f32 factorization exactly like everywhere else.
+        # Above 8192 the host f64 path resumes (the on-device LU block
+        # overflows scoped VMEM near 11k — same threshold as
+        # models/dense.py newton_drift).
+        T_dev = tableau_ops.refactor_tableau(
+            jnp.asarray(sf.tableau[:m_pad], dtype), jnp.asarray(basis),
+            jnp.asarray(sf.obj_row_p2, dtype))
+        obj = np.asarray(T_dev[-1], np.float64)
+        if not np.all(np.isfinite(obj)):
+            return solve_lp(lp, config)
+        if not np.all(obj[:n_pad][sf.col_mask_p2] >= -10 * tol):
+            return solve_lp(lp, config)
+        T_in = T_dev
+    else:
+        # Refactor for the new data under the old basis (f64 host).
+        T0 = sf.tableau.astype(np.float64)
+        rows = T0[:m_pad]
+        try:
+            T_rows = np.linalg.solve(rows[:, basis], rows)
+        except np.linalg.LinAlgError:
+            return solve_lp(lp, config)
+        if not np.all(np.isfinite(T_rows)):
+            return solve_lp(lp, config)
+        obj = sf.obj_row_p2.astype(np.float64).copy()
+        obj -= obj[basis] @ T_rows
+        rc_ok = np.all(obj[:n_pad][sf.col_mask_p2] >= -10 * tol)
+        if not rc_ok:                   # costs changed too: not dual-feasible
+            return solve_lp(lp, config)
+        T_in = jnp.asarray(np.concatenate([T_rows, obj[None, :]],
+                                          axis=0).astype(dtype))
+
     T_d, basis_d, status, iters = tableau_ops.solve_tableau_dual(
-        jnp.asarray(T), jnp.asarray(basis), jnp.asarray(sf.col_mask_p2),
+        T_in, jnp.asarray(basis), jnp.asarray(sf.col_mask_p2),
         tol=tol, max_iters=int(max_iters),
         bland_after=int(min(config.bland_after, max_iters // 2)),
+        devex=config.pivot_rule == "devex",
     )
     status = int(status)
     nit = int(iters)

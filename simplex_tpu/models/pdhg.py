@@ -51,6 +51,10 @@ class PdhgResult:
     converged: np.ndarray   # (B,) bool
     iters: int
     solve_time: float = 0.0
+    # Filled by solve_arrays_stream(crossover=...): instance index →
+    # SimplexResult with the exact vertex recovered by PDHG→simplex
+    # crossover (models/crossover.py).
+    exact: Optional[dict] = None
 
 
 def _power_iter_sigma_max(A, iters: int = 30):
@@ -216,6 +220,106 @@ def _pdhg_solve(A, b, c, is_eq, max_iters: int = 10000, tol: float = 1e-4,
     x, y, _, _, _, _, iters, done = lax.while_loop(cond, body, state)
     primal, dual, gap = residuals(x, y)
     return x * d_c, y * d_r, primal, dual, gap, done, iters
+
+
+def solve_arrays_stream(batches, tol: float = 1e-4, max_iters: int = 20000,
+                        dtype=np.float32, maximize=False,
+                        crossover: str = "none", config=None):
+    """Pipelined PDHG sweep over an iterable of ``(c, A, b, ops)`` batches.
+
+    The production driver for the 1M-instance regime: JAX dispatch is
+    asynchronous, so canonicalizing + staging batch k+1 into device memory
+    is issued while batch k's `_pdhg_solve` still runs — end-to-end
+    throughput approaches ``max(transfer, solve)`` instead of their sum
+    (mirrors ``models/batched.solve_arrays_stream``; the r2 1M sweep spent
+    90% of its 927 s wall on unoverlapped generation + staging).
+
+    ``crossover``: ``"none"`` (yield raw PDHG results), ``"unconverged"``
+    (exact-solve the instances PDHG could not converge — failure recovery),
+    or ``"all"`` (recover an exact vertex for every instance via the
+    PDHG→simplex crossover, ``models/crossover.py``).  With crossover on,
+    each yielded :class:`PdhgResult` gains an ``exact`` attribute: a dict
+    of instance-index → :class:`SimplexResult`.
+
+    Yields one :class:`PdhgResult` per input batch, in order.  All batches
+    must share (m, n) and the ``ops`` layout so one compiled program
+    serves the whole sweep.
+    """
+    import time as _time
+
+    from ..config import DEFAULT_CONFIG
+
+    dtype = np.dtype(dtype)
+
+    def stage(batch):
+        c, A, b, ops = batch
+        c = np.asarray(c, np.float64)
+        A = np.asarray(A, np.float64)
+        b = np.asarray(b, np.float64)
+        ops = np.asarray(ops)
+        B, m, n = A.shape
+        maxi = np.broadcast_to(np.asarray(maximize, bool), (B,))
+        c_min = np.where(maxi[:, None], -c, c)
+        flip = (ops == OP_GE)[None, :]
+        A_n = np.where(flip[:, :, None], -A, A)
+        b_n = np.where(flip, -b, b)
+        is_eq = np.broadcast_to((ops == OP_EQ)[None, :], (B, m))
+        dev = (jnp.asarray(A_n, dtype), jnp.asarray(b_n, dtype),
+               jnp.asarray(c_min, dtype), jnp.asarray(is_eq))
+        return (c, A, b, ops, maxi, c_min), dev
+
+    it = iter(batches)
+    try:
+        current = stage(next(it))
+    except StopIteration:
+        return
+
+    while current is not None:
+        (c, A, b, ops, maxi, c_min), dev = current
+        t0 = _time.perf_counter()
+        out = _pdhg_solve(*dev, max_iters=max_iters, tol=tol)
+        # Stage the NEXT batch while this solve runs on device.
+        try:
+            current = stage(next(it))
+        except StopIteration:
+            current = None
+
+        x, y, primal, dual, gap, done, iters = out
+        x = np.asarray(x, np.float64)
+        obj_min = np.einsum("bn,bn->b", c_min, x)
+        res = PdhgResult(
+            x=x, y=np.asarray(y, np.float64),
+            objective=np.where(maxi, -obj_min, obj_min) + 0.0,
+            primal_residual=np.asarray(primal, np.float64),
+            dual_residual=np.asarray(dual, np.float64),
+            gap=np.asarray(gap, np.float64),
+            converged=np.asarray(done),
+            iters=int(iters),
+            solve_time=_time.perf_counter() - t0,
+        )
+        if crossover != "none":
+            # Host-side exact recovery, overlapped with the next batch's
+            # device solve (it was dispatched above).
+            from .crossover import crossover_batch
+
+            # Device-backed arrays are read-only views; the crossover
+            # patches them per instance.
+            res.converged = np.array(res.converged)
+            res.objective = np.array(res.objective)
+            if crossover == "all":
+                idx = list(range(x.shape[0]))
+            else:
+                idx = [int(i) for i in np.nonzero(~res.converged)[0]]
+            exact = crossover_batch(
+                c, A, b, ops, maxi, x, indices=idx,
+                config=config or DEFAULT_CONFIG)
+            res.exact = dict(zip(idx, exact))
+            for i, r in res.exact.items():
+                if r.success:
+                    res.x[i] = r.x
+                    res.objective[i] = r.z
+                    res.converged[i] = True
+        yield res
 
 
 class PdhgSolver:

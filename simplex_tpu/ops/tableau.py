@@ -414,11 +414,12 @@ def extract_solution(T, basis, n_vars: int):
 # --------------------------------------------------------------------------- #
 @functools.partial(
     jax.jit,
-    static_argnames=("tol", "max_iters", "bland_after", "refactor_every"),
+    static_argnames=("tol", "max_iters", "bland_after", "refactor_every",
+                     "devex"),
 )
 def solve_tableau_dual(T0, basis0, col_mask, tol: float = 1e-6,
                        max_iters: int = 16384, bland_after: int = 2048,
-                       refactor_every: int = 64):
+                       refactor_every: int = 64, devex: bool = True):
     """Dual simplex pivots on a tableau with nonnegative reduced costs.
 
     The mirror image of the primal loop — the TPU-native counterpart of the
@@ -429,15 +430,28 @@ def solve_tableau_dual(T0, basis0, col_mask, tol: float = 1e-6,
     situation after perturbing ``b`` under a previously-optimal basis.
     Per iteration, all masked arithmetic:
 
-    * leaving row  = most negative RHS (primal infeasibility pricing);
+    * leaving row  = **dual Devex** (``devex=True``, default): maximize
+      ``rhs_r² / w_r`` over infeasible rows, with Forrest-Goldfarb-style
+      reference weights approximating the dual steepest-edge norms
+      ``‖B⁻¹eᵣ‖²`` — the row pricing HiGHS's dual simplex uses, typically
+      a large pivot-count reduction vs most-negative-RHS on problems
+      where infeasibilities differ wildly in scale.  ``devex=False``
+      falls back to most-negative-RHS (Dantzig-style);
     * entering col = masked argmin of ``rc_j / -T[r, j]`` over columns with
       ``T[r, j] < -tol`` (keeps the objective row nonnegative — dual
       feasibility is the loop invariant);
-    * Bland fallback (lowest eligible column index), **stall-gated** like
-      the primal phases: it engages only after ``bland_after`` consecutive
-      pivots without dual-objective improvement and reverts as soon as
-      progress resumes (cycles never improve, so the anti-cycling
-      guarantee is intact — the same design as ``_run_phase``).
+    * Bland fallback (lowest eligible column index + most-negative row),
+      **stall-gated** like the primal phases: it engages only after
+      ``bland_after`` consecutive pivots without dual-objective
+      improvement and reverts as soon as progress resumes (cycles never
+      improve, so the anti-cycling guarantee is intact — the same design
+      as ``_run_phase``).
+
+    Dual Devex weight update after a pivot on (r, s) with column
+    ``α = T[:-1, s]`` (pre-pivot): ``w_i ← max(w_i, (α_i/α_r)² w_r)`` for
+    ``i ≠ r`` and ``w_r ← max(w_r/α_r², 1)``; weights reset to 1 on
+    overflow or refactorization (they are reference approximations, not
+    exact norms).
 
     Numerics mirror the primal loop too: the tableau is refactorized from
     the INPUT tableau's rows every ``refactor_every`` pivots (the input
@@ -454,22 +468,32 @@ def solve_tableau_dual(T0, basis0, col_mask, tol: float = 1e-6,
     """
     T0_rows = T0[:-1]
     raw_obj = T0[-1]
+    m = T0_rows.shape[0]
+    dt = T0.dtype
 
     def cond(state):
-        _, _, iters, status, _, _, _, _ = state
+        status, iters = state[3], state[2]
         return (status == RUNNING) & (iters < max_iters)
 
     def body(state):
-        T, basis, iters, _, since_ref, stall, best_obj, no_imp = state
+        T, basis, iters, _, since_ref, stall, best_obj, no_imp, w = state
         rhs = T[:-1, -1]
-        r = jnp.argmin(rhs)
-        primal_ok = rhs[r] >= -tol
+        infeas = rhs < -tol
+        use_bland = no_imp >= bland_after
+        if devex:
+            score = jnp.where(infeas, (rhs * rhs) / w, -jnp.inf)
+            r_price = jnp.argmax(score)
+        else:
+            r_price = jnp.argmin(rhs)
+        # Stall mode: deterministic most-negative row (argmin is unique up
+        # to ties broken by lowest index — the Bland-style row rule).
+        r = jnp.where(use_bland, jnp.argmin(rhs), r_price)
+        primal_ok = ~jnp.any(infeas)
 
         row = T[r, :-1]
         eligible = col_mask & (row < -tol)
         no_pivot = ~jnp.any(eligible)
 
-        use_bland = no_imp >= bland_after
         rc = T[-1, :-1]
         safe = jnp.where(eligible, -row, 1.0)
         ratios = jnp.where(eligible, jnp.maximum(rc, 0.0) / safe, jnp.inf)
@@ -495,19 +519,33 @@ def solve_tableau_dual(T0, basis0, col_mask, tol: float = 1e-6,
             return args
 
         def do_refactor(args):
-            T, basis, _ = args
+            T, basis, _, w = args
             T_new = refactor_tableau(T0_rows, basis, raw_obj)
             ok = jnp.all(jnp.isfinite(T_new))
             T = jnp.where(ok, T_new, T)
-            return T, basis, jnp.int32(0)
+            return T, basis, jnp.int32(0), w
 
         def do_pivot(args):
-            T, basis, since_ref = args
+            T, basis, since_ref, w = args
+            if devex:
+                # Pre-pivot entering column; scatter-free masked update.
+                alpha = _gather_col_single(T, s)[:-1]       # (m,)
+                a_r = alpha[jnp.minimum(r, m - 1)]
+                a_r = jnp.where(jnp.abs(a_r) > 0, a_r, 1.0)
+                ratio2 = (alpha / a_r) ** 2
+                w_r = w[jnp.minimum(r, m - 1)]
+                is_r = jnp.arange(m) == r
+                w_new = jnp.maximum(w, ratio2 * w_r)
+                w_new = jnp.where(is_r, jnp.maximum(w_r / (a_r * a_r), 1.0),
+                                  w_new)
+                w = jnp.where(jnp.max(w_new) > 1e8, jnp.ones_like(w_new),
+                              w_new)
             T, basis = pivot_update(T, basis, r, s)
-            return T, basis, since_ref + 1
+            return T, basis, since_ref + 1, w
 
-        T, basis, since_ref = lax.switch(
-            branch, [accept, do_refactor, do_pivot], (T, basis, since_ref)
+        T, basis, since_ref, w = lax.switch(
+            branch, [accept, do_refactor, do_pivot],
+            (T, basis, since_ref, w)
         )
         # Dual objective -T[-1,-1] is non-DEcreasing along dual pivots.
         obj = -T[-1, -1]
@@ -522,15 +560,24 @@ def solve_tableau_dual(T0, basis0, col_mask, tol: float = 1e-6,
             RUNNING,
         )
         iters = iters + (branch == 2).astype(iters.dtype)
-        return T, basis, iters, status, since_ref, stall, best_obj, no_imp
+        return (T, basis, iters, status, since_ref, stall, best_obj, no_imp,
+                w)
 
     # since_ref starts beyond the period so the first verdict is confirmed.
-    T, basis, iters, status, _, _, _, _ = lax.while_loop(
+    T, basis, iters, status, _, _, _, _, _ = lax.while_loop(
         cond, body,
         (T0, basis0, jnp.int32(0), jnp.int32(RUNNING), jnp.int32(1),
-         jnp.int32(0), jnp.asarray(-jnp.inf, T0.dtype), jnp.int32(0)))
+         jnp.int32(0), jnp.asarray(-jnp.inf, dt), jnp.int32(0),
+         jnp.ones((m,), dt)))
     status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
     return T, basis, status, iters
+
+
+def _gather_col_single(T, s):
+    """Column ``T[:, s]`` as a one-hot contraction (lane-axis gather is a
+    slow multi-pass op on TPU; the einsum reads T once on the MXU)."""
+    hot = jax.nn.one_hot(s, T.shape[1], dtype=T.dtype)
+    return T @ hot
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,129 @@
+"""Real-netlib parity tests (BASELINE.md: "netlib-style LPs").
+
+The published optima below are the classical netlib reference values
+(Gay, "Electronic mail distribution of linear programming test problems",
+Math. Prog. Society COAL Newsletter, 1985 — public domain data).  This
+build environment has zero network egress and no bundled netlib data, and
+a from-memory reconstruction of the MPS files cannot be validated (an
+attempted afiro reconstruction solved to the wrong objective and was
+discarded rather than shipped) — so these tests DISCOVER the files
+instead of embedding them:
+
+    SIMPLEX_TPU_NETLIB_DIR=/path/to/netlib python -m pytest tests/test_netlib.py
+
+or drop ``afiro.mps`` / ``sc50a.mps`` / ``sc50b.mps`` / ``adlittle.mps``
+(uncompressed MPS) into ``tests/data/netlib/``.  With files present, each
+instance is solved through BOTH the dense tableau engine and the revised
+(bounded) engine and must hit the published optimum to 1e-6 relative;
+without files the tests skip visibly rather than silently passing.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from simplex_tpu.config import SolverConfig
+from simplex_tpu.models.dense import solve_lp, solve_lp_host_exact
+from simplex_tpu.models.revised import RevisedSimplexSolver
+from simplex_tpu.utils.mps import load_mps
+
+# Published optimal objective values (minimization).
+NETLIB_OPTIMA = {
+    "afiro": -4.6475314286e2,
+    "sc50a": -6.4575077059e1,
+    "sc50b": -7.0000000000e1,
+    "sc105": -5.2202061212e1,
+    "adlittle": 2.2549496316e5,
+    "blend": -3.0812149846e1,
+    "share2b": -4.1573224074e2,
+    "stocfor1": -4.1131976219e4,
+    "sc205": -5.2202061212e1,
+    "scagr7": -2.3313892548e6,
+    "israel": -8.9664482186e5,
+    "brandy": 1.5185098965e3,
+    "e226": -1.8751929066e1,
+    "bandm": -1.5862801845e2,
+}
+
+
+def _netlib_dir():
+    env = os.environ.get("SIMPLEX_TPU_NETLIB_DIR")
+    if env and os.path.isdir(env):
+        return env
+    local = os.path.join(os.path.dirname(__file__), "data", "netlib")
+    if os.path.isdir(local):
+        return local
+    return None
+
+
+def _available():
+    d = _netlib_dir()
+    if d is None:
+        return []
+    out = []
+    for name in NETLIB_OPTIMA:
+        for ext in (".mps", ".MPS", ".sif", ".SIF"):
+            p = os.path.join(d, name + ext)
+            if os.path.isfile(p):
+                out.append((name, p))
+                break
+    return out
+
+
+_FOUND = _available()
+
+
+@pytest.mark.skipif(not _FOUND, reason=(
+    "no netlib MPS files found — set SIMPLEX_TPU_NETLIB_DIR or populate "
+    "tests/data/netlib/ (see module docstring)"))
+@pytest.mark.parametrize("name,path", _FOUND or [("none", "")])
+def test_netlib_published_optimum(name, path):
+    lp = load_mps(path)
+    target = NETLIB_OPTIMA[name]
+
+    # Revised engine (native bounds — the netlib path, models/revised.py).
+    res_rev = RevisedSimplexSolver().solve(lp)
+    assert res_rev.success, f"{name}: revised status {res_rev.status}"
+    assert res_rev.fun == pytest.approx(target, rel=1e-6), name
+
+    # Dense engine (bounds lowered to rows) on the small instances.
+    if lp.n_cons + lp.n_vars <= 400:
+        res_dense = solve_lp(lp)
+        assert res_dense.success, f"{name}: dense status {res_dense.status}"
+        assert res_dense.fun == pytest.approx(target, rel=1e-6), name
+
+    # Exact host engine — the escalation target must agree too.
+    if lp.n_cons + lp.n_vars <= 400:
+        res_host = solve_lp_host_exact(lp)
+        assert res_host.success
+        assert res_host.fun == pytest.approx(target, rel=1e-6), name
+
+
+@pytest.mark.skipif(not _FOUND, reason="no netlib MPS files found")
+def test_netlib_through_cli(tmp_path):
+    """The CLI 'solve --engine auto' path on the first available instance."""
+    import json
+    import subprocess
+    import sys
+
+    name, path = _FOUND[0]
+    out = subprocess.run(
+        [sys.executable, "-m", "simplex_tpu.cli", "solve", path,
+         "--engine", "auto"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr
+    target = NETLIB_OPTIMA[name]
+    # The CLI prints the objective; accept either a JSON report or text.
+    text = out.stdout
+    assert any(
+        abs(float(tok) - target) <= 1e-5 * (1 + abs(target))
+        for tok in _float_tokens(text)
+    ), f"CLI output lacks the optimum {target}:\n{text[:2000]}"
+
+
+def _float_tokens(text):
+    for raw in text.replace(",", " ").replace(":", " ").split():
+        try:
+            yield float(raw)
+        except ValueError:
+            continue
