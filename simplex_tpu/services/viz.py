@@ -330,6 +330,11 @@ _GEO3D_TEMPLATE = """
     <input type="range" id="stx3-slider" min="0" value="0" style="width:60%">
     <span id="stx3-label" style="font-family:monospace"></span>
   </div>
+  <div style="margin-top:4px">
+    <input type="range" id="stx3-zslider" min="0" max="100" value="0"
+           style="width:60%">
+    <span id="stx3-zlabel" style="font-family:monospace;color:#0a7"></span>
+  </div>
   <div style="font-size:12px;color:#888">drag to rotate</div>
 </div>
 <script>
@@ -356,8 +361,14 @@ _GEO3D_TEMPLATE = """
   }
   const slider = document.getElementById('stx3-slider');
   const label = document.getElementById('stx3-label');
+  const zslider = document.getElementById('stx3-zslider');
+  const zlabel = document.getElementById('stx3-zlabel');
   const P = D.path.length ? D.path : [[0,0,0]];
   slider.max = P.length - 1;
+  const zpts = (D.vertices.length ? D.vertices : P);
+  const zvals = zpts.map(v =>
+    D.objective[0]*v[0] + D.objective[1]*v[1] + D.objective[2]*v[2]);
+  const zmin = Math.min.apply(null, zvals), zmax = Math.max.apply(null, zvals);
   function draw() {
     while (svg.firstChild) svg.removeChild(svg.firstChild);
     // axes from origin
@@ -379,6 +390,37 @@ _GEO3D_TEMPLATE = """
       const s = proj(v);
       el('circle', {cx:s[0], cy:s[1], r:3, fill:'#4a7fd4'});
     }
+    // objective-level slider: isoprofit PLANE c.x = level clipped to the
+    // polytope — each polytope edge crossing the plane contributes one
+    // intersection point; the points, ordered around their projected
+    // centroid, bound the translucent level polygon (gilp's second
+    // slider in 3-D, reference docs/user_guide.md:192-219).
+    if (zmax > zmin) {
+      const lvl = zmin + (zmax - zmin) * (+zslider.value) / 100;
+      const fv = D.vertices.map(v =>
+        D.objective[0]*v[0] + D.objective[1]*v[1] + D.objective[2]*v[2] - lvl);
+      const cut = [];
+      for (const [p, q] of D.edges) {
+        const fp = fv[p], fq = fv[q];
+        if ((fp < 0) !== (fq < 0) && Math.abs(fp - fq) > 1e-12) {
+          const t = fp / (fp - fq);
+          const a = D.vertices[p], b = D.vertices[q];
+          cut.push([a[0] + t*(b[0]-a[0]), a[1] + t*(b[1]-a[1]),
+                    a[2] + t*(b[2]-a[2])]);
+        }
+      }
+      if (cut.length >= 3) {
+        const scr = cut.map(proj);
+        const cx0 = scr.reduce((s,p)=>s+p[0],0)/scr.length;
+        const cy0 = scr.reduce((s,p)=>s+p[1],0)/scr.length;
+        const order = scr.map((p,i)=>[Math.atan2(p[1]-cy0, p[0]-cx0), i])
+                         .sort((a,b)=>a[0]-b[0]).map(t=>t[1]);
+        el('polygon', {points: order.map(i => scr[i][0]+','+scr[i][1]).join(' '),
+                       fill:'rgba(10,170,119,0.18)', stroke:'#0a7',
+                       'stroke-width':1.5, 'stroke-dasharray':'7,4'});
+      }
+      zlabel.textContent = ' Z = ' + lvl.toFixed(4);
+    }
     // simplex path up to slider position
     const k = +slider.value;
     for (let i = 1; i <= k; i++) {
@@ -395,6 +437,7 @@ _GEO3D_TEMPLATE = """
       v => v.toFixed(2)).join(', ') + ')  Z=' + z.toFixed(4);
   }
   slider.addEventListener('input', draw);
+  zslider.addEventListener('input', draw);
   let drag = null;
   svg.addEventListener('pointerdown', e => {
     drag = [e.clientX, e.clientY]; svg.setPointerCapture(e.pointerId);

@@ -86,6 +86,25 @@ def test_crossover_warm_start_uses_fewer_pivots():
     assert wins * 2 >= total, f"crossover won {wins}/{total}"
 
 
+def test_pdhg_omega_handles_skewed_scales():
+    """PDLP ω-rebalancing regression: rhs 300x the cost scale.  With fixed
+    tau=sigma these instances needed >64k iterations (0/32 converged at a
+    4k cap); the primal-weight scheme converges most of them well inside
+    it."""
+    rng = np.random.default_rng(1)
+    B, m, n = 32, 12, 8
+    A = rng.uniform(0.1, 1.0, (B, m, n))
+    b = rng.uniform(1.0, 5.0, (B, m)) * 300.0
+    c = rng.uniform(0.1, 1.0, (B, n))
+    res = PdhgSolver(tol=1e-5, max_iters=4000).solve_arrays(
+        c, A, b, np.full(m, -1), maximize=True)
+    assert int(res.converged.sum()) >= 22, int(res.converged.sum())
+    ok = res.converged
+    for i in np.nonzero(ok)[0][:8]:
+        ref = linprog(-c[i], A_ub=A[i], b_ub=b[i], method="highs")
+        assert res.objective[i] == pytest.approx(-ref.fun, rel=2e-3), i
+
+
 def test_basis_guess_layout():
     lp = LinearProgram(c=[1.0, 1.0], A=[[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
                        b=[2.0, 3.0, 10.0], ops=[-1, -1, -1], maximize=True)

@@ -198,9 +198,24 @@ def test_geometric_view_3d_widget():
                                      [[0, 0, 0], [1, 1, 1]],
                                      ["x1", "x2", "x3"])
     assert "stx3-svg" in html and "stx3-slider" in html
+    # Objective-level slider (gilp's second slider, now in 3-D too).
+    assert "stx3-zslider" in html and "isoprofit PLANE" in html
     payload = json.loads(html.split("const D = ", 1)[1].split(";\n", 1)[0])
     assert len(payload["vertices"]) == 8
     assert payload["path"] == [[0, 0, 0], [1, 1, 1]]
+    # Python mirror of the widget's plane-clipping math: a mid-level
+    # isoprofit plane through the unit cube must cut >= 3 edges (the JS
+    # draws the polygon those points bound).
+    verts, edges = payload["vertices"], payload["edges"]
+    c = payload["objective"]
+    zs = [sum(ci * vi for ci, vi in zip(c, v)) for v in verts]
+    lvl = (min(zs) + max(zs)) / 2.0
+    cut = 0
+    for p, q in edges:
+        fp, fq = zs[p] - lvl, zs[q] - lvl
+        if (fp < 0) != (fq < 0) and abs(fp - fq) > 1e-12:
+            cut += 1
+    assert cut >= 3
 
 
 def test_orchestrator_emits_3d_widget_for_3_vars():
