@@ -193,6 +193,31 @@ def test_heterogeneous_sweep_buckets_and_matches():
             assert abs(z - single.z) <= 1e-5 * (1 + abs(single.z))
 
 
+def test_sweep_edge_cases_no_constraints_and_unbounded():
+    """Vacuous padding rows (0'x <= 1) must preserve the no-constraint and
+    unbounded semantics of the single-LP path."""
+    from simplex_tpu import LinearProgram, solve_lp
+    from simplex_tpu.models.batched import solve_lp_sweep
+
+    lps = [
+        # No constraints, max with positive cost: unbounded (status 3).
+        LinearProgram(c=[1.0], A=np.zeros((0, 1)), b=[], ops=[],
+                      maximize=True),
+        # No constraints, min with positive cost: x = 0 optimal.
+        LinearProgram(c=[1.0, 2.0], A=np.zeros((0, 2)), b=[], ops=[],
+                      maximize=False),
+        # Unbounded direction with a real constraint present.
+        LinearProgram(c=[1.0, 0.0], A=[[0.0, 1.0]], b=[5.0], ops=[-1],
+                      maximize=True),
+    ]
+    out = solve_lp_sweep(lps)
+    for lp, (x, z, status, ok) in zip(lps, out):
+        single = solve_lp(lp)
+        assert status == single.status, (status, single.status)
+        if ok:
+            assert abs(z - single.z) <= 1e-6
+
+
 def test_device_assembly_matches_host_compile():
     """compile_batch_on_device must produce exactly what the numpy
     compile_batch_uniform produces (tableau, basis, masks, objective rows,

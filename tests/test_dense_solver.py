@@ -387,6 +387,31 @@ def test_dual_reoptimize_random_agrees_with_cold():
     assert tried >= 15 and agree == tried
 
 
+def test_dual_reoptimize_devex_and_dantzig_agree():
+    """Dual Devex row pricing changes the pivot SEQUENCE, never the
+    optimum: both rules must land on the same certified objective."""
+    from simplex_tpu import reoptimize
+    from simplex_tpu.config import SolverConfig
+
+    rng = np.random.default_rng(19)
+    for _ in range(6):
+        m, n = 24, 16
+        rowscale = 10.0 ** rng.uniform(-1.5, 1.5, m)
+        A = rng.uniform(0.1, 1.0, size=(m, n)) * rowscale[:, None]
+        b = rng.uniform(m * 0.3, m * 0.6, size=m) * rowscale
+        c = rng.uniform(0.1, 1.0, size=n)
+        lp = LinearProgram(c=c, A=A, b=b, ops=np.full(m, -1), maximize=True)
+        r0 = solve_lp(lp)
+        assert r0.success
+        b2 = b * rng.uniform(0.6, 1.0, m)
+        lp2 = LinearProgram(c=c, A=A, b=b2, ops=np.full(m, -1),
+                            maximize=True)
+        r_dx = reoptimize(lp2, r0.basis, SolverConfig(pivot_rule="devex"))
+        r_dz = reoptimize(lp2, r0.basis, SolverConfig(pivot_rule="dantzig"))
+        assert r_dx.success and r_dz.success
+        assert abs(r_dx.z - r_dz.z) <= 1e-6 * (1 + abs(r_dz.z))
+
+
 def test_dual_reoptimize_stale_basis_falls_back():
     from simplex_tpu import reoptimize
 
