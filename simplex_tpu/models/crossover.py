@@ -73,7 +73,10 @@ def basis_guess(lp: LinearProgram, x: np.ndarray) -> Optional[np.ndarray]:
     sf = compile_standard_form(lp, row_pad=row_pad, col_pad=col_pad,
                                dtype=np.float64)
     basis = np.asarray(sf.basis, np.int32).copy()
-    basis[:m] = np.asarray(chosen, np.int32)
+    # EQ-heavy batches can have m > n + n_ineq (fewer candidate columns
+    # than rows): keep sf.basis's artificial columns on the surplus rows —
+    # ``reoptimize`` validates the guess and cold-solves if it is singular.
+    basis[: len(chosen)] = np.asarray(chosen, np.int32)
     return basis
 
 

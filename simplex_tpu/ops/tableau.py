@@ -449,9 +449,10 @@ def solve_tableau_dual(T0, basis0, col_mask, tol: float = 1e-6,
 
     Dual Devex weight update after a pivot on (r, s) with column
     ``α = T[:-1, s]`` (pre-pivot): ``w_i ← max(w_i, (α_i/α_r)² w_r)`` for
-    ``i ≠ r`` and ``w_r ← max(w_r/α_r², 1)``; weights reset to 1 on
-    overflow or refactorization (they are reference approximations, not
-    exact norms).
+    ``i ≠ r`` and ``w_r ← max(w_r/α_r², 1)``; weights reset to 1 when they
+    overflow past 1e8 and otherwise persist across refactorizations (they
+    are reference approximations, not exact norms — a refactorization
+    changes the tableau's numerical basis, not the pricing frame).
 
     Numerics mirror the primal loop too: the tableau is refactorized from
     the INPUT tableau's rows every ``refactor_every`` pivots (the input

@@ -113,17 +113,14 @@ def test_netlib_through_cli(tmp_path):
         capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr
     target = NETLIB_OPTIMA[name]
-    # The CLI prints the objective; accept either a JSON report or text.
-    text = out.stdout
-    assert any(
-        abs(float(tok) - target) <= 1e-5 * (1 + abs(target))
-        for tok in _float_tokens(text)
-    ), f"CLI output lacks the optimum {target}:\n{text[:2000]}"
+    # Parse the LABELED objective line the CLI prints ("Z = <value>",
+    # cli.py:122) — any-float-token matching could be satisfied by a
+    # coincidental variable value or iteration count (VERDICT r3 weak #4).
+    import re
 
-
-def _float_tokens(text):
-    for raw in text.replace(",", " ").replace(":", " ").split():
-        try:
-            yield float(raw)
-        except ValueError:
-            continue
+    z_lines = re.findall(r"^\s*Z\s*=\s*([-+0-9.eE]+)\s*$", out.stdout,
+                         re.MULTILINE)
+    assert z_lines, f"CLI output lacks a 'Z = ...' line:\n{out.stdout[:2000]}"
+    z = float(z_lines[-1])
+    assert abs(z - target) <= 1e-5 * (1 + abs(target)), (
+        f"CLI Z = {z}, published optimum {target}")

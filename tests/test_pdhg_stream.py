@@ -114,6 +114,21 @@ def test_basis_guess_layout():
     assert set(g[:3].tolist()) == {0, 1, 4}  # x1, x2, slack of row 3 (n+2)
 
 
+def test_basis_guess_eq_heavy_no_crash():
+    """ADVICE r3 (medium): m > n + n_inequality (EQ-heavy) used to raise a
+    broadcast ValueError in basis_guess — the candidate pool has only
+    n + n_ineq columns.  The intended behavior is a valid (possibly
+    fallback-triggering) guess and an exact crossover result."""
+    lp = LinearProgram(c=[1.0, 2.0],
+                       A=[[1.0, 1.0], [1.0, -1.0], [2.0, 2.0]],
+                       b=[3.0, 1.0, 6.0], ops=[0, 0, 0], maximize=False)
+    g = basis_guess(lp, np.array([2.0, 1.0]))   # must not raise
+    assert g is not None and g.shape[0] >= 3
+    res = crossover_lp(lp, np.array([2.0, 1.0]))
+    assert res.success
+    assert res.z == pytest.approx(4.0, abs=1e-8)  # x=(2,1), z=1*2+2*1
+
+
 def test_stream_crossover_unconverged_mode():
     """'unconverged' recovers only the failures: cap PDHG iterations so
     nothing converges, then every instance must get an exact result."""
