@@ -4,14 +4,20 @@ Headline metric (BASELINE.json): simplex pivots/sec/chip at a 10k x 10k
 tableau.  The per-pivot rank-1 tableau update is the HBM-bound hot op; the
 roofline is ~2 array touches (read + write) of the full tableau per pivot.
 
-``vs_baseline`` reports the achieved fraction of the chip's HBM roofline
-for the per-pivot update (BASELINE.json north star: >= 0.80).  The
-reference itself publishes no numbers (SURVEY.md §6) — its solve path is
-scipy/HiGHS on CPU with a pure-Python tableau loop, which is orders of
-magnitude below any TPU figure, so roofline fraction is the honest
-denominator.
+``vs_baseline`` reports the achieved fraction of the chip's ACHIEVABLE
+streaming bandwidth for the per-pivot update (BASELINE.json north star:
+>= 0.80 of roofline).  The reference itself publishes no numbers
+(SURVEY.md §6) — its solve path is scipy/HiGHS on CPU with a pure-Python
+tableau loop, orders of magnitude below any TPU figure, so roofline
+fraction is the honest denominator.
 
-Run: ``python bench.py [--size N] [--iters K] [--batch]``
+Every timed mode reports the MEDIAN of ``--reps`` repetitions (default 5)
+with the relative spread in ``detail`` — tunnel-load variance on the axon
+link is real (~±10%), and a single-repetition sample was how round 2/3
+headline numbers wobbled (VERDICT r3 weak #1).
+
+Run: ``python bench.py [--size N] [--iters K] [--reps R]
+[--batch | --pdhg | --solve-dense | --sharded]``
 """
 import argparse
 import json
@@ -40,7 +46,24 @@ def _hbm_peak(device) -> float:
     return _HBM_PEAK["cpu"]
 
 
-def bench_pivot_update(size: int, iters: int):
+def _median_time(fn, reps: int = 5):
+    """Median wall time of ``reps`` calls (fn must block on completion).
+
+    Returns ``(median_seconds, spread)`` where spread = (max-min)/median —
+    the honest stability figure for a tunneled device.
+    """
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    spread = float((max(ts) - min(ts)) / med) if med > 0 else 0.0
+    return med, spread
+
+
+def bench_pivot_update(size: int, iters: int, reps: int = 5,
+                       with_batched: bool = True):
     """Steady-state time per rank-1 pivot update on a (size+1)^2 tableau.
 
     Methodology: ``iters`` pivots with VARYING positions are fused into ONE
@@ -53,8 +76,14 @@ def bench_pivot_update(size: int, iters: int):
 
     Alongside the paper HBM peak, the empirical streaming ceiling (a pure
     elementwise read+write pass over the same array, same scan harness) is
-    measured and reported — ``frac_of_achievable`` is the honest
-    speed-of-light fraction.
+    measured and reported — ``vs_baseline`` is the honest speed-of-light
+    fraction.  All figures are medians of ``reps`` runs.
+
+    ``with_batched``: also run the batched-LP sweep benchmark (B=1024
+    30x50 instances, ``backend='auto'`` — the Pallas fused kernel on real
+    TPU) and embed its LPs/s in ``detail``, so the driver artifact
+    captures the production batched path on its actual hardware every
+    round (VERDICT r3 weak #3 / item 5).
     """
     import jax
     import jax.numpy as jnp
@@ -102,23 +131,20 @@ def bench_pivot_update(size: int, iters: int):
         return jnp.sum(A) + jnp.sum(B)
 
     float(run(T, basis, rs)[0])  # compile + warm
-    t0 = time.perf_counter()
-    float(run(T, basis, rs)[0])  # checksum fetch = true sync
-    dt = (time.perf_counter() - t0) / iters
+    dt, dt_spread = _median_time(lambda: float(run(T, basis, rs)[0]), reps)
+    dt /= iters
 
     float(stream(T))
-    t0 = time.perf_counter()
-    float(stream(T))
-    dt_stream = (time.perf_counter() - t0) / iters
+    dt_stream, st_spread = _median_time(lambda: float(stream(T)), reps)
+    dt_stream /= iters
 
     U = T * 0.5
     float(pingpong(T, U))
-    t0 = time.perf_counter()
-    float(pingpong(T, U))
-    dt_pp = (time.perf_counter() - t0) / iters
+    dt_pp, _ = _median_time(lambda: float(pingpong(T, U)), reps)
+    dt_pp /= iters
 
-    pallas_in = _pallas_stream_gbps(T, iters, inplace=True)
-    pallas_out = _pallas_stream_gbps(T, iters, inplace=False)
+    pallas_in = _pallas_stream_gbps(T, iters, reps, inplace=True)
+    pallas_out = _pallas_stream_gbps(T, iters, reps, inplace=False)
 
     bytes_moved = 2.0 * (m + 1) * (n + 1) * 4  # read + write, f32
     gbps = bytes_moved / dt / 1e9
@@ -128,39 +154,53 @@ def bench_pivot_update(size: int, iters: int):
     # the access mode the pivot loop actually uses (in-place: the
     # while_loop carry is donated).  The ceiling's credibility rests on
     # FOUR measurements, two per compiler (XLA and Mosaic/Pallas, which
-    # shares none of XLA's fusion/layout pipeline):
-    #   in-place      XLA ~505 GB/s | Pallas aliased copy ~410 GB/s
-    #   out-of-place  XLA ~287 GB/s | Pallas copy         ~254 GB/s
-    # (v5e, 10240^2 f32).  Both compilers agree out-of-place to ~12% and
-    # reproduce the same ~1.7x in-place/out-of-place split, so the split
-    # is a memory-system property, not an XLA artifact; vendor STREAM
-    # figures for v5e land in the same 500-600 GB/s in-place band.  No
-    # memcpy on any device reaches paper peak; the paper-peak fraction is
-    # still reported.
+    # shares none of XLA's fusion/layout pipeline); BENCH_r03.json
+    # recorded, at 10240^2 f32 on this v5e:
+    #   in-place      XLA 491.8 GB/s | Pallas aliased copy 497.2 GB/s
+    #   out-of-place  XLA 277.7 GB/s | Pallas copy         283.4 GB/s
+    # Agreement is 1-4% in BOTH modes and both compilers reproduce the same
+    # ~1.75x in-place/out-of-place split, so the split is a memory-system
+    # property, not an XLA artifact; vendor STREAM figures for v5e land in
+    # the same 500-600 GB/s in-place band.  No memcpy on any device
+    # reaches paper peak; the paper-peak fraction is still reported.
     ceiling = max(stream_gbps, pallas_in or 0.0)
+    detail = {
+        "per_pivot_ms": round(dt * 1e3, 3),
+        "achieved_GBps": round(gbps, 1),
+        "hbm_peak_GBps": _hbm_peak(dev),
+        "frac_of_hbm_peak": round(gbps / _hbm_peak(dev), 4),
+        "empirical_stream_GBps": round(stream_gbps, 1),
+        "xla_outofplace_GBps": round(pp_gbps, 1),
+        "pallas_stream_GBps": (None if pallas_in is None
+                               else round(pallas_in, 1)),
+        "pallas_outofplace_GBps": (None if pallas_out is None
+                                   else round(pallas_out, 1)),
+        "ceiling_GBps": round(ceiling, 1),
+        "n_reps": reps,
+        "pivot_spread": round(dt_spread, 4),
+        "stream_spread": round(st_spread, 4),
+        "device": str(getattr(dev, "device_kind", dev)),
+    }
+    if with_batched:
+        try:
+            bb = bench_batched_solve(reps=max(3, reps - 2))
+            detail["batched_lps_per_sec"] = bb["value"]
+            detail["batched_backend"] = bb["detail"]["backend"]
+            detail["batched_n_optimal"] = bb["detail"]["n_optimal"]
+            detail["batched_spread"] = bb["detail"]["spread"]
+        except Exception as e:  # never let the sub-bench kill the artifact
+            sys.stderr.write(f"batched sub-bench failed: {e}\n")
+            detail["batched_lps_per_sec"] = None
     return {
         "metric": f"pivots_per_sec_{size}x{size}_f32",
         "value": round(1.0 / dt, 3),
         "unit": "pivots/s/chip",
         "vs_baseline": round(gbps / ceiling, 4),
-        "detail": {
-            "per_pivot_ms": round(dt * 1e3, 3),
-            "achieved_GBps": round(gbps, 1),
-            "hbm_peak_GBps": _hbm_peak(dev),
-            "frac_of_hbm_peak": round(gbps / _hbm_peak(dev), 4),
-            "empirical_stream_GBps": round(stream_gbps, 1),
-            "xla_outofplace_GBps": round(pp_gbps, 1),
-            "pallas_stream_GBps": (None if pallas_in is None
-                                   else round(pallas_in, 1)),
-            "pallas_outofplace_GBps": (None if pallas_out is None
-                                       else round(pallas_out, 1)),
-            "ceiling_GBps": round(ceiling, 1),
-            "device": str(getattr(dev, "device_kind", dev)),
-        },
+        "detail": detail,
     }
 
 
-def _pallas_stream_gbps(T, iters: int, inplace: bool = True):
+def _pallas_stream_gbps(T, iters: int, reps: int = 5, inplace: bool = True):
     """XLA-independent streaming measurement: a hand-written Pallas kernel.
 
     Reads every block of ``T`` into VMEM and writes it back out (one HBM
@@ -173,13 +213,13 @@ def _pallas_stream_gbps(T, iters: int, inplace: bool = True):
     (``input_output_aliases``) — the access mode of the production pivot
     loop, whose donated while_loop carry re-writes the region it just
     read.  ``inplace=False`` writes a fresh buffer each pass.  On v5e the
-    two modes differ by ~1.7x (410 vs 254 GB/s) and XLA reproduces the
-    same split (505 vs 287) — which is how we know the split is the
-    memory system's, not a compiler artifact.  (Block size barely matters:
-    64 to 448 rows measure within 2%; the original 287 GB/s reading in
-    BENCH_r02 was this kernel in OUT-OF-PLACE mode being compared against
-    XLA's IN-PLACE stream.)  Returns None where Pallas TPU lowering is
-    unavailable (CPU CI).
+    two modes differ by ~1.75x (497 vs 283 GB/s, BENCH_r03) and XLA
+    reproduces the same split (492 vs 278) — which is how we know the
+    split is the memory system's, not a compiler artifact.  (Block size
+    barely matters: 64 to 448 rows measure within 2%; the original
+    287 GB/s reading in BENCH_r02 was this kernel in OUT-OF-PLACE mode
+    being compared against XLA's IN-PLACE stream.)  Returns None where
+    Pallas TPU lowering is unavailable (CPU CI).
     """
     import jax
     import jax.numpy as jnp
@@ -230,23 +270,25 @@ def _pallas_stream_gbps(T, iters: int, inplace: bool = True):
             return jnp.sum(T)
 
         float(run(T))
-        t0 = time.perf_counter()
-        float(run(T))
-        dt = (time.perf_counter() - t0) / iters
+        dt, _ = _median_time(lambda: float(run(T)), reps)
+        dt /= iters
         return 2.0 * M * N * 4 / dt / 1e9
     except Exception as e:
         sys.stderr.write(f"pallas stream unavailable: {e}\n")
         return None
 
 
-def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50):
+def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50,
+                        reps: int = 3):
     """Batched LPs solved/sec on one chip (BASELINE config 2 shape).
 
     Times the on-device solve with inputs already staged in HBM — in a
     production sweep, host->device staging of the next batch overlaps the
     current solve, so device throughput is the pipeline rate.  End-to-end
     wall time (host standard-form compile + transfer + solve + fetch, no
-    overlap) is reported in ``detail``.
+    overlap) is reported in ``detail``.  ``backend='auto'`` resolves to the
+    Pallas fused pivot kernel on real TPU (ops/pallas_batched.py), plain
+    XLA on CPU — ``detail.backend`` records which one actually ran.
     """
     import jax
     import jax.numpy as jnp
@@ -261,6 +303,7 @@ def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50):
     b = rng.uniform(1.0, 5.0, size=(B, m)).astype(np.float32)
     c = rng.uniform(0.1, 1.0, size=(B, n)).astype(np.float32)
     ops = np.full((m,), -1)
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     solver = BatchedSimplexSolver()
     res = solver.solve_arrays(c, A, b, ops, maximize=True)  # compile+run
@@ -273,12 +316,13 @@ def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50):
             (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
              cb.obj_row_p1, cb.obj_row_p2, cb.need_p1)]
     jax.block_until_ready(args)
-    out = batched_ops.solve_tableau_batch(*args)
-    float(jnp.sum(out[0]))  # warm (cached from solve_arrays) + sync
-    t0 = time.perf_counter()
-    out = batched_ops.solve_tableau_batch(*args)
-    float(jnp.sum(out[0]))
-    dt = time.perf_counter() - t0
+
+    def one():
+        out = batched_ops.solve_tableau_batch(*args)
+        return float(jnp.sum(out[0]))
+
+    one()  # warm (cached from solve_arrays) + sync
+    dt, spread = _median_time(one, reps)
 
     return {
         "metric": f"batched_lps_per_sec_{B}x{m}x{n}",
@@ -287,6 +331,9 @@ def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50):
         "vs_baseline": round(res.n_optimal / B, 4),
         "detail": {"device_solve_s": round(dt, 3),
                    "end_to_end_wall_s": round(wall, 3),
+                   "backend": backend,
+                   "n_reps": reps,
+                   "spread": round(spread, 4),
                    "n_optimal": res.n_optimal,
                    "pivot_iters": res.nit,
                    "mean_pivots": (None if res.pivots is None
@@ -294,7 +341,138 @@ def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50):
     }
 
 
-def bench_pdhg(B: int = 65536, m: int = 20, n: int = 30):
+def bench_sharded(size: int = 10240, iters: int = 64, reps: int = 3,
+                  compare_size: int = 8192):
+    """Row-sharded kernel on the REAL chip: (1,1)-mesh per-pivot cost.
+
+    VERDICT r3 item 1: every sharded number before round 4 came from the
+    8-virtual-CPU mesh; this measures ``solve_tableau_sharded`` on actual
+    TPU hardware.  A (1,1) mesh makes every collective a self-copy, so the
+    measurement isolates the KERNEL's memory behavior (masked contractions,
+    Harris two-pass window, owner selection) from ICI cost — the only
+    sharding proxy a single-chip environment can measure.
+
+    Three figures, all medians of ``reps`` runs:
+      * sharded per-pivot ms / effective GB/s at ``size``^2 (m = n = size;
+        steady state, resync excluded from the window) and the same with
+        the production resync cadence (refactor_every=64) to show the
+        amortized drift-control cost;
+      * the single-chip ``ops/tableau.pivot_update`` scan at ``compare_size``
+        for a direct kernel-vs-kernel ratio at matched row count
+        (``vs_baseline`` = sharded effective GB/s / single-kernel GB/s).
+
+    Effective GB/s uses the same 2-passes-per-pivot convention as the
+    headline bench (the B_loc=1 path reads the pivot column/row via
+    dynamic_slice — O(m)+O(N) bytes — so the rank-1 update's read+write of
+    the (m, n_pad+1) row block is the traffic).
+    """
+    import jax
+    import jax.numpy as jnp
+    from simplex_tpu.models.batched import compile_batch_uniform
+    from simplex_tpu.parallel.sharded import make_mesh, solve_tableau_sharded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dev = jax.devices()[0]
+
+    def run_one(m, iters, refactor_every):
+        n = m
+        rng = np.random.default_rng(7)
+        A = rng.uniform(0.05, 1.0, size=(1, m, n)).astype(np.float32)
+        x0 = rng.uniform(0.5, 1.5, size=n).astype(np.float32)
+        b = (A[0] @ x0)[None, :]          # every row tight: pivots forever
+        c = rng.uniform(0.1, 1.0, size=(1, n)).astype(np.float32)
+        ops = np.full((m,), -1)
+        mesh = make_mesh(batch=1, row=1)
+        cb = compile_batch_uniform(c, A, b, ops, True, row_pad=1,
+                                   dtype=np.float32, align_total=False)
+        m_pad = cb.basis.shape[1]
+        T_rows = cb.T0[:, :-1, :]
+        obj = cb.T0[:, -1, :]
+        row_valid = np.ones((1, m_pad), bool)
+        art_mask = cb.col_mask_p1 & ~cb.col_mask_p2
+        sh_T = NamedSharding(mesh, P("batch", "row", None))
+        sh_rows = NamedSharding(mesh, P("batch", "row"))
+        sh_rep = NamedSharding(mesh, P("batch", None))
+        sh_b = NamedSharding(mesh, P("batch"))
+        args = (
+            jax.device_put(jnp.asarray(T_rows), sh_T),
+            jax.device_put(jnp.asarray(cb.basis), sh_rows),
+            jax.device_put(jnp.asarray(obj), sh_rep),
+            jax.device_put(jnp.asarray(cb.col_mask_p1), sh_rep),
+            jax.device_put(jnp.asarray(cb.col_mask_p2), sh_rep),
+            jax.device_put(jnp.asarray(art_mask), sh_rep),
+            jax.device_put(jnp.asarray(cb.obj_row_p1), sh_rep),
+            jax.device_put(jnp.asarray(cb.obj_row_p2), sh_rep),
+            jax.device_put(jnp.asarray(cb.need_p1), sh_b),
+            jax.device_put(jnp.asarray(row_valid), sh_rows),
+        )
+
+        def one():
+            out = solve_tableau_sharded(
+                *args, mesh=mesh, max_iters=iters,
+                refactor_every=refactor_every, devex=True)
+            return float(jnp.sum(out[2])), int(out[4])
+
+        _, it0 = one()                    # compile + warm
+        dt, spread = _median_time(lambda: one(), reps)
+        dt /= max(it0, 1)
+        n_pad1 = T_rows.shape[2]
+        tbytes = m_pad * n_pad1 * 4
+        return {
+            "per_pivot_ms": round(dt * 1e3, 3),
+            "effective_GBps": round(2.0 * tbytes / dt / 1e9, 1),
+            "tableau_MB": round(tbytes / 1e6, 1),
+            "iters": it0,
+            "spread": round(spread, 4),
+        }
+
+    steady = run_one(size, iters, refactor_every=iters + 1)
+    with_resync = run_one(size, iters, refactor_every=64)
+
+    # Single-kernel comparison at matched row count.
+    cmp_sharded = run_one(compare_size, iters, refactor_every=iters + 1)
+    from simplex_tpu.ops.tableau import pivot_update
+    from jax import lax
+
+    m = compare_size
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(rng.normal(size=(m + 1, m + 1)).astype(np.float32))
+    basis = jnp.arange(m, dtype=jnp.int32)
+    rs = jnp.asarray(np.random.default_rng(1).integers(
+        0, m, size=(iters, 2)).astype(np.int32))
+
+    @jax.jit
+    def run(T, basis, rs):
+        def body(carry, rc):
+            T, basis = carry
+            return pivot_update(T, basis, rc[0], rc[1]), None
+        (T, basis), _ = lax.scan(body, (T, basis), rs)
+        return jnp.sum(T), basis
+
+    float(run(T, basis, rs)[0])
+    dt_single, _ = _median_time(lambda: float(run(T, basis, rs)[0]), reps)
+    dt_single /= iters
+    single_gbps = 2.0 * (m + 1) * (m + 1) * 4 / dt_single / 1e9
+
+    return {
+        "metric": f"sharded_pivots_per_sec_{size}x{size}_f32",
+        "value": round(1e3 / steady["per_pivot_ms"], 3),
+        "unit": "pivots/s/chip ((1,1) mesh)",
+        "vs_baseline": round(cmp_sharded["effective_GBps"] / single_gbps, 4),
+        "detail": {
+            "steady": steady,
+            "with_resync_every_64": with_resync,
+            "compare_at": compare_size,
+            "sharded_cmp_GBps": cmp_sharded["effective_GBps"],
+            "single_kernel_GBps": round(single_gbps, 1),
+            "single_kernel_per_pivot_ms": round(dt_single * 1e3, 3),
+            "n_reps": reps,
+            "device": str(getattr(dev, "device_kind", dev)),
+        },
+    }
+
+
+def bench_pdhg(B: int = 65536, m: int = 20, n: int = 30, reps: int = 3):
     """First-order (PDHG) sweep throughput — the 1M-instance-regime engine.
 
     Times the on-device solve with staged inputs (same pipeline argument as
@@ -313,12 +491,14 @@ def bench_pdhg(B: int = 65536, m: int = 20, n: int = 30):
     args = (jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
             jnp.asarray(is_eq))
     jax.block_until_ready(args)
-    out = _pdhg_solve(*args, max_iters=10000, tol=1e-4)
-    float(jnp.sum(out[0]))
-    t0 = time.perf_counter()
-    out = _pdhg_solve(*args, max_iters=10000, tol=1e-4)
-    float(jnp.sum(out[0]))
-    dt = time.perf_counter() - t0
+
+    def one():
+        out = _pdhg_solve(*args, max_iters=10000, tol=1e-4)
+        float(jnp.sum(out[0]))
+        return out
+
+    out = one()
+    dt, spread = _median_time(lambda: one(), reps)
     converged = int(np.sum(np.asarray(out[5])))
     return {
         "metric": f"pdhg_lps_per_sec_{B}x{m}x{n}",
@@ -326,6 +506,7 @@ def bench_pdhg(B: int = 65536, m: int = 20, n: int = 30):
         "unit": "LPs/s/chip",
         "vs_baseline": round(converged / B, 4),
         "detail": {"device_solve_s": round(dt, 3),
+                   "n_reps": reps, "spread": round(spread, 4),
                    "pdhg_iters": int(out[6]), "converged": converged},
     }
 
@@ -367,6 +548,8 @@ def main():
                         "(default: the 10k x 10k shape BASELINE.md names, "
                         "tile-aligned)")
     p.add_argument("--iters", type=int, default=64)
+    p.add_argument("--reps", type=int, default=5,
+                   help="timed repetitions per mode; medians are reported")
     p.add_argument("--batch", action="store_true",
                    help="run the batched-solve benchmark instead")
     p.add_argument("--batch-size", type=int, default=None,
@@ -375,20 +558,32 @@ def main():
                    help="run the first-order (PDHG) sweep benchmark")
     p.add_argument("--solve-dense", action="store_true",
                    help="run the end-to-end single-LP dense-solve benchmark")
+    p.add_argument("--sharded", action="store_true",
+                   help="run the row-sharded kernel on the real chip "
+                        "((1,1) mesh; VERDICT r3 item 1)")
+    p.add_argument("--no-batched-detail", action="store_true",
+                   help="skip the batched sub-benchmark in the default mode")
     args = p.parse_args()
 
     try:
         if args.pdhg:
-            out = bench_pdhg(B=args.batch_size or 65536)
+            out = bench_pdhg(B=args.batch_size or 65536, reps=args.reps)
         elif args.batch:
-            out = bench_batched_solve(B=args.batch_size or 1024)
+            out = bench_batched_solve(B=args.batch_size or 1024,
+                                      reps=args.reps)
         elif args.solve_dense:
             out = bench_dense_solve(args.size if args.size != 10240 else 2048)
+        elif args.sharded:
+            out = bench_sharded(args.size, args.iters,
+                                reps=min(args.reps, 3),
+                                compare_size=min(8192, args.size))
         else:
-            out = bench_pivot_update(args.size, args.iters)
+            out = bench_pivot_update(args.size, args.iters, reps=args.reps,
+                                     with_batched=not args.no_batched_detail)
     except Exception as e:  # fall back to a smaller shape on OOM etc.
         sys.stderr.write(f"bench fallback ({type(e).__name__}: {e})\n")
-        out = bench_pivot_update(2048, 20)
+        out = bench_pivot_update(2048, 20, reps=args.reps,
+                                 with_batched=False)
     print(json.dumps(out))
 
 

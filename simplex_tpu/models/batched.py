@@ -53,6 +53,9 @@ class BatchResult:
     pivots: Optional[np.ndarray] = None  # (B,) per-instance pivot counts
     solve_time: float = 0.0
     basis: Optional[np.ndarray] = None   # (B, m_pad) final basis columns
+    # Bounded solves: (B, n_pad) bool — nonbasic columns sitting AT their
+    # finite upper bound (None for classic [0, inf) batches).
+    at_upper: Optional[np.ndarray] = None
     # f64 certification (None when config.certify is off): certified[i] is
     # True iff instance i's verdict passed the host f64 KKT check — directly
     # for device optima, or via exact host re-solve for escalated instances
@@ -82,13 +85,39 @@ class CompiledBatch:
     need_p1: np.ndarray     # (B,)
     n_vars: int
     maximize: np.ndarray    # (B,) bool
+    # (B, n_pad) upper bounds in tableau dtype (+inf on slack/artificial/
+    # padding columns); None for classic [0, inf) batches.
+    ub_ext: Optional[np.ndarray] = None
+
+
+def _build_ub_ext(ub, B: int, n: int, n_pad: int, dtype):
+    """Validate + pad user upper bounds to the tableau column layout.
+
+    ``ub`` is (n,) or (B, n), entries in [0, +inf] (lb is 0 by convention
+    — general lower bounds go through ``core.problem.normalize_bounds``
+    first).  Returns (B, n_pad) with +inf on every non-structural column,
+    or None when every bound is +inf (the classic kernel then runs).
+    """
+    if ub is None:
+        return None
+    ub = np.broadcast_to(np.asarray(ub, np.float64), (B, n))
+    if np.any(np.isnan(ub)) or np.any(ub < 0.0):
+        raise ValueError(
+            "Las cotas superiores deben cumplir ub >= 0 (normalice las "
+            "cotas inferiores primero con normalize_bounds).")
+    if not np.any(np.isfinite(ub)):
+        return None
+    ub_ext = np.full((B, n_pad), np.inf, np.float64)
+    ub_ext[:, :n] = ub
+    return ub_ext.astype(dtype, copy=False)
 
 
 def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
                           ops: np.ndarray, maximize,
                           row_pad: int = 8, col_pad: int = 128,
                           dtype=np.float32,
-                          align_total: bool = True) -> CompiledBatch:
+                          align_total: bool = True,
+                          ub=None) -> CompiledBatch:
     """Vectorized standard-form compilation for a uniform-shape batch.
 
     The column layout is uniform across the batch (slack i at n+i,
@@ -200,6 +229,14 @@ def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
     else:
         T[:, m_pad, :] = obj_row_p2
 
+    ub_ext = _build_ub_ext(ub, B, n, n_pad, dtype)
+    if ub_ext is not None:
+        # Fixed columns (ub == 0): x_j = 0 always — mask them out of both
+        # phases (a zero-span variable would bound-flip forever).
+        fixed = ub_ext[:, :n_pad] == 0.0
+        col_mask_p1 &= ~fixed
+        col_mask_p2 &= ~fixed
+
     return CompiledBatch(
         T0=T.astype(dtype, copy=False),
         basis=basis_full,
@@ -210,13 +247,15 @@ def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
         need_p1=need_p1,
         n_vars=n,
         maximize=maximize,
+        ub_ext=ub_ext,
     )
 
 
 def compile_batch_on_device(c, A, b, ops, maximize,
                             row_pad: int = 8, col_pad: int = 128,
                             dtype=np.float32,
-                            align_total: bool = True) -> CompiledBatch:
+                            align_total: bool = True,
+                            ub=None) -> CompiledBatch:
     """Device-side standard-form assembly for a uniform array batch.
 
     Functionally identical to :func:`compile_batch_uniform`, but the padded
@@ -250,10 +289,15 @@ def compile_batch_on_device(c, A, b, ops, maximize,
         row_pad=int(row_pad), col_pad=int(col_pad),
         align_total=bool(align_total), with_art=with_art)
     T, basis, cm1, cm2, o1, o2, need_p1 = out
+    ub_ext = _build_ub_ext(ub, B, n, cm1.shape[1], dt)
+    if ub_ext is not None:
+        live = jnp.asarray(ub_ext != 0.0)     # mask out fixed columns
+        cm1 = jnp.logical_and(cm1, live)
+        cm2 = jnp.logical_and(cm2, live)
     return CompiledBatch(
         T0=T, basis=basis, col_mask_p1=cm1, col_mask_p2=cm2,
         obj_row_p1=o1, obj_row_p2=o2, need_p1=need_p1,
-        n_vars=n, maximize=maximize,
+        n_vars=n, maximize=maximize, ub_ext=ub_ext,
     )
 
 
@@ -357,19 +401,41 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         max_iters = min(config.max_iters, 50 * (m_pad + n_pad))
     bland_after = min(config.bland_after, max_iters // 2)
 
-    T, basis, status, iters, pivots = batched_ops.solve_tableau_batch(
-        jnp.asarray(cb.T0), jnp.asarray(cb.basis),
-        jnp.asarray(cb.col_mask_p1), jnp.asarray(cb.col_mask_p2),
-        jnp.asarray(cb.obj_row_p1), jnp.asarray(cb.obj_row_p2),
-        jnp.asarray(cb.need_p1),
-        tol=_batch_tol(config, cb.T0.dtype),
-        max_iters=int(max_iters),
-        bland_after=int(bland_after),
-        refactor_every=int(config.refactor_every or max(64, m_pad // 8)),
-        backend=config.batched_backend,
-        devex=config.pivot_rule == "devex",
-    )
-    x, z_min = batched_ops.extract_solution_batch(T, basis, cb.n_vars)
+    at_upper = None
+    if cb.ub_ext is not None:
+        # Native-bounds kernel (XLA step; the Pallas fused kernel is
+        # bound-unaware — ops/batched.solve_tableau_batch_bounded).
+        T, basis, at_up, status, iters, pivots = \
+            batched_ops.solve_tableau_batch_bounded(
+                jnp.asarray(cb.T0), jnp.asarray(cb.basis),
+                jnp.asarray(cb.col_mask_p1), jnp.asarray(cb.col_mask_p2),
+                jnp.asarray(cb.obj_row_p1), jnp.asarray(cb.obj_row_p2),
+                jnp.asarray(cb.need_p1), jnp.asarray(cb.ub_ext),
+                tol=_batch_tol(config, cb.T0.dtype),
+                max_iters=int(max_iters),
+                bland_after=int(bland_after),
+                refactor_every=int(config.refactor_every
+                                   or max(64, m_pad // 8)),
+                devex=config.pivot_rule == "devex",
+            )
+        x, z_min = batched_ops.extract_solution_batch_bounded(
+            T, basis, at_up, jnp.asarray(cb.ub_ext), cb.n_vars)
+        at_upper = np.asarray(at_up)
+    else:
+        T, basis, status, iters, pivots = batched_ops.solve_tableau_batch(
+            jnp.asarray(cb.T0), jnp.asarray(cb.basis),
+            jnp.asarray(cb.col_mask_p1), jnp.asarray(cb.col_mask_p2),
+            jnp.asarray(cb.obj_row_p1), jnp.asarray(cb.obj_row_p2),
+            jnp.asarray(cb.need_p1),
+            tol=_batch_tol(config, cb.T0.dtype),
+            max_iters=int(max_iters),
+            bland_after=int(bland_after),
+            refactor_every=int(config.refactor_every
+                               or max(64, m_pad // 8)),
+            backend=config.batched_backend,
+            devex=config.pivot_rule == "devex",
+        )
+        x, z_min = batched_ops.extract_solution_batch(T, basis, cb.n_vars)
     x = np.maximum(np.asarray(x, np.float64), 0.0)
     fun = np.asarray(z_min, np.float64)
     status = np.asarray(status)
@@ -385,6 +451,7 @@ def _run_batch(cb: CompiledBatch, config: SolverConfig,
         pivots=np.asarray(pivots),
         solve_time=time.perf_counter() - t0,
         basis=np.asarray(basis),
+        at_upper=at_upper,
     )
 
 
@@ -403,13 +470,17 @@ def _batch_tol(config: SolverConfig, dtype) -> float:
 def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
                            row_pad: int = 8, col_pad: int = 128,
                            align_total: bool = True, tol: float = 1e-7,
-                           chunk: int = 8192) -> BatchResult:
+                           chunk: int = 8192, ub=None) -> BatchResult:
     """f64-certify a uniform-batch result in place (models/certify.py).
 
     Recompiles the standard form in float64 per ``chunk`` of instances
     (bounded host memory even at 1M-instance sweeps), runs the batched KKT
     check against the exact data, and escalates every untrusted verdict to
     the exact host engine.  The layout parameters must match the solve.
+
+    Bounded results (``ub`` given) and large-m batches route through the
+    structured raw-data certifier, which knows the bounded KKT system and
+    scales past the dense-LU regime.
     """
     from .certify import certify_and_escalate
 
@@ -426,14 +497,16 @@ def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
     res.x = np.array(res.x)
     res.fun = np.array(res.fun)
     res.z = np.array(res.z)
-    if A.shape[1] >= 512:
+    if ub is not None or A.shape[1] >= 512:
         # Large-m regime: the structured certifier (k×k LU per instance,
         # k <= n) replaces the dense m×m batched LU, which is O(m^3) host
-        # LAPACK — prohibitive from ~16k rows (VERDICT r3 item 2).
+        # LAPACK — prohibitive from ~16k rows (VERDICT r3 item 2).  It is
+        # also the only certifier that knows the bounded KKT system.
         from .certify import certify_and_escalate_raw
 
         fix = certify_and_escalate_raw(
-            res.status, res.basis, c, A, b, ops, maximize, tol=tol)
+            res.status, res.basis, c, A, b, ops, maximize, tol=tol,
+            ub=ub, at_upper=res.at_upper)
         res.status = fix["status"]
         res.x = fix["x"]
         res.fun = fix["fun"]
@@ -484,7 +557,7 @@ class BatchedSimplexSolver:
         self.config = config
 
     def solve_arrays(self, c, A, b, ops, maximize=True,
-                     dtype=None) -> BatchResult:
+                     dtype=None, ub=None) -> BatchResult:
         """Uniform-shape performance path: one device call for the batch.
 
         Standard-form assembly happens ON DEVICE
@@ -493,14 +566,21 @@ class BatchedSimplexSolver:
         ``config.certify`` is on (default), every verdict is then f64-KKT
         checked against the exact data and untrusted ones re-solved by the
         exact host engine — the same guarantee single-LP solves carry.
+
+        ``ub`` ((n,) or (B, n), entries in [0, +inf]): NATIVE upper bounds
+        — solved by the bounded ratio-test kernel at zero row cost, the
+        capability HiGHS provides behind the reference's
+        ``solver_controller.py:78-85`` (general lower bounds are lowered
+        first via ``core.problem.normalize_bounds``; see solve_lp_sweep).
         """
         cb = compile_batch_on_device(
             c, A, b, ops, maximize,
-            dtype=np.dtype(dtype or self.config.dtype),
+            dtype=np.dtype(dtype or self.config.dtype), ub=ub,
         )
         res = self._solve_compiled(cb)
         if self.config.certify:
-            res = certify_uniform_result(res, c, A, b, ops, maximize)
+            res = certify_uniform_result(res, c, A, b, ops, maximize,
+                                         ub=ub)
         return res
 
     def _solve_compiled(self, cb: CompiledBatch) -> BatchResult:
@@ -617,7 +697,9 @@ def solve_lp_sweep(lps: Sequence[LinearProgram],
 
     The production entry for "solve this pile of unrelated LPs fast"
     (SURVEY.md §7: "bucketed compilation for the batch path").  Per LP the
-    host does ONE cheap transform pass (bounds → rows, free → split) and
+    host does ONE cheap transform pass (lower bounds shifted/flipped out
+    by ``normalize_bounds``, free → split; remaining finite UPPER bounds
+    stay NATIVE via the bounded ratio-test kernel, adding zero rows) and
     computes a bucket key from the RAW shape rounded up to a multiple of
     8 — no standard-form compile, no per-instance tableau assembly.  Each
     bucket pads its raw (c, A, b, ops) arrays to the bucket shape
@@ -633,15 +715,25 @@ def solve_lp_sweep(lps: Sequence[LinearProgram],
     """
     from collections import defaultdict
 
+    from ..core.problem import normalize_bounds
+
     solver = BatchedSimplexSolver(config)
-    prepared = []                      # per lp: (lp_t, n_user, free_map)
+    prepared = []            # per lp: (lp_t, n_user, free_map, bounds_tr)
     buckets = defaultdict(list)
     for idx, lp in enumerate(lps):
-        lp_t = lower_bounds_to_rows(lp) if lp.has_finite_bounds else lp
+        # NATIVE bounds (VERDICT r3 item 4): finite lower bounds are
+        # shifted/flipped out by normalize_bounds and the remaining finite
+        # UPPER bounds ride the bounded ratio-test kernel at zero row cost
+        # — a bound-heavy sweep keeps m equal to the structural row count
+        # instead of re-inflating it with dense bound rows.
+        lp_t, tr = (normalize_bounds(lp) if lp.has_finite_bounds
+                    else (lp, None))
+        if tr is not None and tr.identity:
+            tr = None
         fmap = None
         if lp_t.has_free:
             lp_t, fmap = split_free_variables(lp_t)
-        prepared.append((lp_t, lp.n_vars, fmap))
+        prepared.append((lp_t, lp.n_vars, fmap, tr))
         m_b = _round_up(max(lp_t.n_cons, 1), 8)
         n_b = _round_up(lp_t.n_vars, 8)
         buckets[(m_b, n_b)].append(idx)
@@ -655,29 +747,36 @@ def solve_lp_sweep(lps: Sequence[LinearProgram],
         b = np.ones((Bk, m_b))
         ops_b = np.full((Bk, m_b), OP_LE, np.int64)
         maxi = np.zeros((Bk,), bool)
+        ub = np.full((Bk, n_b), np.inf)
+        any_ub = False
         for k, i in enumerate(indices):
-            lp_t, _, _ = prepared[i]
+            lp_t, _, _, _ = prepared[i]
             m, n = lp_t.n_cons, lp_t.n_vars
             c[k, :n] = lp_t.c
             A[k, :m, :n] = lp_t.A
             b[k, :m] = lp_t.b
             ops_b[k, :m] = lp_t.ops
             maxi[k] = lp_t.maximize
-        res = solver.solve_arrays(c, A, b, ops_b, maximize=maxi)
+            if np.any(np.isfinite(lp_t.ub)):
+                ub[k, :n] = lp_t.ub
+                any_ub = True
+        res = solver.solve_arrays(c, A, b, ops_b, maximize=maxi,
+                                  ub=ub if any_ub else None)
         for k, i in enumerate(indices):
             ok = bool(res.success[k])
-            lp_t, n_user, fmap = prepared[i]
+            lp_t, n_user, fmap, tr = prepared[i]
             x = None
+            z = None
             if ok:
                 x = np.asarray(res.x[k][: lp_t.n_vars], np.float64)
                 if fmap is not None:
                     x = merge_free_solution(x, n_user, fmap)
-            results[i] = (
-                x,
-                float(res.z[k]) if ok else None,
-                int(res.status[k]),
-                ok,
-            )
+                if tr is not None:
+                    x = tr.restore_x(x)
+                z = (float(lps[i].c @ x)
+                     if (tr is not None or fmap is not None)
+                     else float(res.z[k]))
+            results[i] = (x, z, int(res.status[k]), ok)
     return results
 
 

@@ -154,7 +154,9 @@ def certify_infeasible_f64(A_std: np.ndarray, b_std: np.ndarray,
 def _certify_raw_instance_f64(c_min: np.ndarray, A: np.ndarray,
                               b: np.ndarray, ops: np.ndarray,
                               basis_m: np.ndarray, phase: int = 2,
-                              tol: float = 1e-7):
+                              tol: float = 1e-7,
+                              ub: Optional[np.ndarray] = None,
+                              at_up: Optional[np.ndarray] = None):
     """Structured f64 KKT check of ONE basis directly on raw (c, A, b, ops).
 
     The scalable large-m certification path (VERDICT r3 item 2): a
@@ -177,6 +179,14 @@ def _certify_raw_instance_f64(c_min: np.ndarray, A: np.ndarray,
 
     ``phase=1`` certifies with the phase-1 costs (artificials cost 1): a
     positive phase-1 optimum is the Farkas infeasibility certificate.
+
+    ``ub``/``at_up`` ((n,) each): NATIVE-bounds certification — the primal
+    solve uses the at-upper-adjusted RHS ``b - A u_U``, basic structural
+    variables must sit inside [0 - tol, ub + tol], and the dual sign test
+    splits per bound status: at-lower nonbasic needs rc >= -tol, at-upper
+    needs rc <= +tol (fixed ub == 0 columns impose no sign).  This is the
+    KKT system of the bounded ratio-test kernels
+    (``ops/batched.solve_tableau_batch_bounded``, ``models/revised.py``).
 
     Expects ROW-NORMALIZED data (b >= 0; callers flip rows first, matching
     ``compile_batch_uniform``).  ``basis_m`` is the device basis restricted
@@ -223,6 +233,17 @@ def _certify_raw_instance_f64(c_min: np.ndarray, A: np.ndarray,
     if len(R0) != k:
         return bad
 
+    if ub is None:
+        ub = np.full(n, np.inf)
+    if at_up is None:
+        at_up = np.zeros(n, bool)
+    at_up = at_up & np.isfinite(ub)
+    at_up[cols_S] = False                # basic columns are never at-upper
+    b_eff = b
+    if np.any(at_up):
+        u_vec = np.where(at_up, ub, 0.0)
+        b_eff = b - A @ u_vec
+
     A_S = A[:, cols_S] if k else np.zeros((m, 0))
     if k:
         M = A_S[R0]                      # (k, k) — the whole factorization
@@ -230,10 +251,10 @@ def _certify_raw_instance_f64(c_min: np.ndarray, A: np.ndarray,
             lu = lu_factor(M)
         except (LinAlgError, ValueError):
             return bad
-        x_S = lu_solve(lu, b[R0])
+        x_S = lu_solve(lu, b_eff[R0])
     else:
         x_S = np.zeros(0)
-    x_U = s_u * (b[r_u] - A_S[r_u] @ x_S)
+    x_U = s_u * (b_eff[r_u] - A_S[r_u] @ x_S)
 
     # Dual: phase-appropriate basic costs.
     if phase == 1:
@@ -256,11 +277,20 @@ def _certify_raw_instance_f64(c_min: np.ndarray, A: np.ndarray,
     c_scale = 1.0 + (np.max(np.abs(c_struct)) if n else 0.0)
 
     prim_ok = np.all(x_S >= -tol * scale) and np.all(x_U >= -tol * scale)
+    ub_S = ub[cols_S]
+    fin_S = np.isfinite(ub_S)
+    prim_ok = prim_ok and np.all(
+        x_S[fin_S] <= ub_S[fin_S] + tol * scale)
     art_ok = not np.any(is_art_u & (np.abs(x_U) > tol * scale)) \
         if phase == 2 else True
     rc_struct = c_struct - y @ A         # (n,) — the one O(m·n) op
     rc_slack = -sign_slack * y           # live on inequality rows only
-    dual_ok = np.all(rc_struct >= -tol * c_scale) and \
+    # Dual sign test per bound status: basic columns have rc = 0 by
+    # construction of y (satisfy both); fixed columns impose no sign.
+    fixed = ub == 0.0
+    lo_ok = at_up | fixed | (rc_struct >= -tol * c_scale)
+    up_ok = ~at_up | (rc_struct <= tol * c_scale)
+    dual_ok = np.all(lo_ok) and np.all(up_ok) and \
         np.all(rc_slack[is_ineq] >= -tol * c_scale)
     if phase == 1:
         dual_ok = dual_ok and np.all(1.0 - y >= -tol * c_scale)
@@ -268,10 +298,11 @@ def _certify_raw_instance_f64(c_min: np.ndarray, A: np.ndarray,
     certified = bool(prim_ok and art_ok and dual_ok)
     x_struct = np.zeros(n)
     x_struct[cols_S] = x_S
+    x_struct[at_up] = ub[at_up]
     if phase == 1:
         fun = float(cB_U @ x_U)          # sum of basic-artificial levels
     else:
-        fun = float(c_min[cols_S] @ x_S)
+        fun = float(c_min @ x_struct)
     return certified, x_struct, fun
 
 
@@ -279,7 +310,8 @@ def certify_and_escalate_raw(status: np.ndarray, basis: np.ndarray,
                              c, A, b, ops, maximize,
                              tol: float = 1e-7,
                              make_lp: Optional[Callable[
-                                 [int], LinearProgram]] = None):
+                                 [int], LinearProgram]] = None,
+                             ub=None, at_upper=None):
     """Certify + escalate a uniform batch's verdicts from RAW data.
 
     The large-m twin of :func:`certify_and_escalate`: no f64 standard-form
@@ -299,12 +331,15 @@ def certify_and_escalate_raw(status: np.ndarray, basis: np.ndarray,
     status = np.asarray(status).copy()
     B_, m, n = A.shape
     maximize = np.broadcast_to(np.asarray(maximize, bool), (B_,))
+    if ub is not None:
+        ub = np.broadcast_to(np.asarray(ub, np.float64), (B_, n))
     if make_lp is None:
         def make_lp(i):
             return LinearProgram(
                 c=c[i], A=A[i], b=b[i],
                 ops=ops if ops.ndim == 1 else ops[i],
-                maximize=bool(maximize[i]))
+                maximize=bool(maximize[i]),
+                ub=(None if ub is None else ub[i]))
 
     certified = np.zeros((B_,), bool)
     escalated = np.zeros((B_,), bool)
@@ -320,11 +355,15 @@ def certify_and_escalate_raw(status: np.ndarray, basis: np.ndarray,
         ops_n = np.where(neg, -ops_i, ops_i)
         c_min = -c[i] if maximize[i] else c[i]
         bidx = np.asarray(basis[i], np.int64)[:m]
+        ub_i = None if ub is None else ub[i]
+        up_i = None if at_upper is None else \
+            np.asarray(at_upper[i], bool)[:n]
 
         st = int(status[i])
         if st == STATUS_OPTIMAL:
             ok, x_s, fun = _certify_raw_instance_f64(
-                c_min, A_i, b_i, ops_n, bidx, phase=2, tol=tol)
+                c_min, A_i, b_i, ops_n, bidx, phase=2, tol=tol,
+                ub=ub_i, at_up=up_i)
             if ok:
                 certified[i] = True
                 x[i] = np.maximum(x_s, 0.0)
@@ -332,7 +371,8 @@ def certify_and_escalate_raw(status: np.ndarray, basis: np.ndarray,
                 continue
         elif st == STATUS_INFEASIBLE:
             ok, _, fun1 = _certify_raw_instance_f64(
-                c_min, A_i, b_i, ops_n, bidx, phase=1, tol=tol)
+                c_min, A_i, b_i, ops_n, bidx, phase=1, tol=tol,
+                ub=ub_i, at_up=up_i)
             scale = 1.0 + (np.max(np.abs(b_i)) if m else 0.0)
             if ok and fun1 > tol * scale:
                 certified[i] = True      # Farkas certificate holds

@@ -429,6 +429,360 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
     return T, basis, status, iters, pivots
 
 
+def _evict_artificials_bounded_b(T, basis, at_upper, art_mask_ext,
+                                 col_mask_p2, tol):
+    """Post-phase-1 eviction with bounds: entering candidates must be
+    nonbasic AT LOWER (an at-upper column entering at the artificial's
+    ~zero level would silently teleport from its bound)."""
+    m_rows = T.shape[1] - 1
+
+    def body(i, state):
+        T, basis = state
+        is_art = jnp.take_along_axis(
+            art_mask_ext, basis[:, i][:, None], axis=1)[:, 0]
+        row = T[:, i, :-1]
+        cand = col_mask_p2 & ~at_upper & (jnp.abs(row) > tol)
+        j = jnp.argmax(cand, axis=-1)
+        active = is_art & jnp.any(cand, axis=-1)
+        r = jnp.full_like(j, i)
+        return _pivot_update_b(T, basis, r, j, active)
+
+    return lax.fori_loop(0, m_rows, body, (T, basis))
+
+
+def _refine_solution_bounded_b(T, basis, basis0, T0_rows, raw_obj,
+                               at_upper, ub):
+    """Bounded twin of :func:`_refine_solution_b`: the Newton residual is
+    taken against the at-upper-adjusted RHS ``b_eff = b0 - A u_U`` and the
+    reported objective includes the at-upper nonbasic contributions."""
+    T_rows = T[:, :-1, :]
+    nc = T0_rows.shape[2]
+    hot_b = jax.nn.one_hot(basis, nc, dtype=T.dtype)
+    Bmat = jnp.einsum("bkn,bin->bki", T0_rows, hot_b)
+    hot0 = jax.nn.one_hot(basis0, nc, dtype=T.dtype)
+    Minv = jnp.einsum("bkn,bin->bki", T_rows, hot0)
+
+    ub_safe = jnp.where(jnp.isfinite(ub), ub, 0.0)
+    u_vec = jnp.where(at_upper, ub_safe, 0.0)                 # (B, n)
+    b_eff = T0_rows[:, :, -1] - jnp.einsum(
+        "bkn,bn->bk", T0_rows[:, :, :-1], u_vec)
+    xB = T[:, :-1, -1]
+    r0 = b_eff - jnp.einsum("bij,bj->bi", Bmat, xB)
+    xB1 = xB + jnp.einsum("bij,bj->bi", Minv, r0)
+    r1 = b_eff - jnp.einsum("bij,bj->bi", Bmat, xB1)
+    better = (jnp.sum(r1 * r1, axis=-1) < jnp.sum(r0 * r0, axis=-1)) \
+        & jnp.all(jnp.isfinite(xB1), axis=-1)
+    xB_out = jnp.where(better[:, None], xB1, xB)
+
+    cB = jnp.take_along_axis(raw_obj, basis, axis=1)
+    z_min = jnp.sum(cB * xB_out, axis=-1) + jnp.sum(
+        jnp.where(at_upper, raw_obj[:, :-1] * ub_safe, 0.0), axis=-1)
+    T = T.at[:, :-1, -1].set(xB_out)
+    T = T.at[:, -1, -1].set(-z_min)
+    return T
+
+
+def _refactor_bounded_b(T, basis, at_upper, ub, T0_rows, raw_obj, active):
+    """Bounded exact refactorization: ``B^{-1} A`` and the reduced costs are
+    bound-independent, but the RHS column solves against the at-upper-
+    adjusted ``b_eff`` and the objective cell adds the at-upper terms."""
+    hot = jax.nn.one_hot(basis, T0_rows.shape[2], dtype=T0_rows.dtype)
+    Bmat = jnp.einsum("bkn,bin->bki", T0_rows, hot)
+    ub_safe = jnp.where(jnp.isfinite(ub), ub, 0.0)
+    u_vec = jnp.where(at_upper, ub_safe, 0.0)
+    b_eff = T0_rows[:, :, -1] - jnp.einsum(
+        "bkn,bn->bk", T0_rows[:, :, :-1], u_vec)
+    rhs_all = jnp.concatenate(
+        [T0_rows[:, :, :-1], b_eff[:, :, None]], axis=2)
+    T_rows = jnp.linalg.solve(Bmat, rhs_all)
+    basis_costs = jnp.take_along_axis(raw_obj, basis, axis=1)
+    obj = raw_obj - jnp.einsum("bm,bmn->bn", basis_costs, T_rows)
+    z_min = jnp.sum(basis_costs * T_rows[:, :, -1], axis=-1) + jnp.sum(
+        jnp.where(at_upper, raw_obj[:, :-1] * ub_safe, 0.0), axis=-1)
+    obj = obj.at[:, -1].set(-z_min)
+    T_new = jnp.concatenate([T_rows, obj[:, None, :]], axis=1)
+    ok = active & jnp.all(jnp.isfinite(T_new), axis=(1, 2))
+    return jnp.where(ok[:, None, None], T_new, T)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tol", "max_iters", "bland_after", "feas_tol",
+                     "refactor_every", "devex"),
+)
+def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
+                                obj_row_p1, obj_row_p2, need_p1, ub,
+                                tol: float = 1e-6, max_iters: int = 4096,
+                                bland_after: int = 1024,
+                                feas_tol: float = 1e-5,
+                                refactor_every: int = 64,
+                                devex: bool = False):
+    """Batched tableau simplex with NATIVE upper bounds ``0 <= x <= ub``.
+
+    The general bounded ratio test of the revised engine
+    (``models/revised.py:171-245``) ported to the batched tableau kernel
+    (VERDICT r3 item 4): a nonbasic column is eligible entering from its
+    LOWER bound when rc < -tol or from its UPPER bound when rc > +tol
+    (it then decreases); the step is limited by a basic variable hitting
+    0, a basic variable hitting its own upper bound, or the entering
+    variable reaching its opposite bound — the last case is a BOUND FLIP
+    (no basis change; O(m) RHS update).  This is what HiGHS provides
+    natively behind the reference's ``solver_controller.py:78-85`` and
+    what netlib BOUNDS sections need without inflating m with dense bound
+    rows (BASELINE.md:34).
+
+    Mechanics per pivot: the ``B^{-1}A`` block and the reduced-cost row
+    update by the standard rank-1 elimination (both are bound-
+    independent), while the RHS column and the objective CELL are
+    maintained explicitly (``x_B -= σ d θ``; entering lands at θ from
+    lower or ``u_s - θ`` from upper; ``z += σ rc_s θ``) — the rank-1
+    formulas for those two are only correct in the leave-at-zero case.
+    Harris two-pass row selection relaxes BOTH limits by the feasibility
+    tolerance and picks the largest |pivot| inside the window.
+
+    ``ub``: (B, n_pad) in the tableau dtype, +inf where unbounded (slack/
+    artificial/padding columns must be +inf).  Fixed columns (ub == 0)
+    must be masked out of ``col_mask_*`` by the compiler — a zero-span
+    variable would flip forever.
+
+    Returns ``(T, basis, at_upper, status, iters, pivots)``.
+    """
+    Bsz = T0.shape[0]
+    N = T0.shape[2] - 1
+    b_scale = 1.0 + jnp.max(jnp.abs(T0[:, :-1, -1]), axis=1)
+    T0_rows = T0[:, :-1, :]
+    art_mask_ext = jnp.concatenate(
+        [col_mask_p1 & ~col_mask_p2, jnp.zeros((Bsz, 1), bool)], axis=1
+    )
+    phase0 = jnp.where(need_p1, jnp.int32(1), jnp.int32(2))
+    ub_safe = jnp.where(jnp.isfinite(ub), ub, 0.0)
+    col_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    _ART = jnp.asarray(1e30, T0.dtype)
+
+    def cond(state):
+        status, iters = state[4], state[5]
+        return jnp.any(status == RUNNING) & (iters < max_iters)
+
+    def body(state):
+        (T, basis, at_upper, phase, status, iters, since_ref, pivots,
+         best_obj, no_imp, w) = state
+        live = status == RUNNING
+        in_p1 = phase == 1
+        col_mask = jnp.where(in_p1[:, None], col_mask_p1, col_mask_p2)
+        raw_obj = jnp.where(in_p1[:, None], obj_row_p1, obj_row_p2)
+        use_bland = no_imp >= bland_after
+
+        do_refactor = since_ref >= refactor_every
+        T = lax.cond(
+            do_refactor,
+            lambda T: _refactor_bounded_b(T, basis, at_upper, ub, T0_rows,
+                                          raw_obj, live),
+            lambda T: T,
+            T,
+        )
+
+        # ---- pricing: dual-infeasibility magnitude over BOTH bounds ---- #
+        rc = T[:, -1, :-1]
+        elig_lo = col_mask & ~at_upper & (rc < -tol)
+        elig_up = col_mask & at_upper & (rc > tol)
+        eligible = elig_lo | elig_up
+        viol = jnp.where(eligible, jnp.abs(rc), -jnp.inf)
+        if devex:
+            score = jnp.where(eligible, (viol * viol) / w, -jnp.inf)
+            s_price = jnp.argmax(score, axis=-1)
+        else:
+            s_price = jnp.argmax(viol, axis=-1)
+        s_bland = jnp.argmax(eligible, axis=-1)
+        s = jnp.where(use_bland, s_bland, s_price)
+        optimal = ~jnp.any(eligible, axis=-1)
+
+        s_from_up = jnp.take_along_axis(at_upper, s[:, None], axis=1)[:, 0]
+        sigma = jnp.where(s_from_up, -1.0, 1.0).astype(T.dtype)   # (B,)
+        rc_s = jnp.take_along_axis(rc, s[:, None], axis=1)[:, 0]
+        ub_s = jnp.take_along_axis(ub, s[:, None], axis=1)[:, 0]
+        ub_s_safe = jnp.where(jnp.isfinite(ub_s), ub_s, 0.0)
+
+        # ---- bounded ratio test ---------------------------------------- #
+        d = _gather_col(T, s)[:, :-1]                             # (B, m)
+        dd = sigma[:, None] * d
+        xB = T[:, :-1, -1]
+        ub_B = jnp.take_along_axis(ub, basis, axis=1)             # (B, m)
+        is_art_row = jnp.take_along_axis(art_mask_ext, basis, axis=1)
+        pos = dd > tol
+        neg = (dd < -tol) & jnp.isfinite(ub_B)
+        art_exit = (~in_p1)[:, None] & is_art_row & (jnp.abs(dd) > tol)
+        t_lo = jnp.where(pos, xB / jnp.where(pos, dd, 1.0), jnp.inf)
+        t_lo = jnp.where(art_exit, 0.0, t_lo)
+        t_hi = jnp.where(neg, (ub_B - xB) / jnp.where(neg, -dd, 1.0),
+                         jnp.inf)
+        t_row = jnp.minimum(t_lo, t_hi)
+        cand = pos | neg | art_exit
+        min_row = jnp.min(t_row, axis=-1)
+        theta = jnp.minimum(min_row, ub_s)
+        unbounded = (~optimal) & jnp.isinf(theta)
+        flip = (~optimal) & (~unbounded) & (ub_s <= min_row)
+        theta_safe = jnp.where(jnp.isfinite(theta), theta, 0.0)
+
+        # Harris two-pass over BOTH limits: relax each by the feasibility
+        # tolerance, take the largest |pivot| inside the window.
+        delta_lo = tol * (1.0 + jnp.abs(xB))
+        delta_hi = tol * (1.0 + jnp.abs(ub_B - xB))
+        t_lo_rel = jnp.where(pos, (xB + delta_lo) /
+                             jnp.where(pos, dd, 1.0), jnp.inf)
+        t_hi_rel = jnp.where(neg, (ub_B - xB + delta_hi) /
+                             jnp.where(neg, -dd, 1.0), jnp.inf)
+        theta_max = jnp.min(jnp.minimum(t_lo_rel, t_hi_rel), axis=-1)
+        harris_cand = (cand & (t_row <= theta_max[:, None])) | art_exit
+        hval = jnp.where(harris_cand,
+                         jnp.abs(dd) + jnp.where(art_exit, _ART, 0.0),
+                         -jnp.inf)
+        r_harris = jnp.argmax(hval, axis=-1)
+        eps = jnp.finfo(T.dtype).eps
+        near = cand & (
+            t_row <= (min_row + 64.0 * eps
+                      * (1.0 + jnp.abs(min_row)))[:, None])
+        tie_key = jnp.where(near, basis, _INT_MAX)
+        r_bland = jnp.argmin(tie_key, axis=-1)
+        r = jnp.where(use_bland, r_bland, r_harris)
+        t_lo_r = jnp.take_along_axis(t_lo, r[:, None], axis=1)[:, 0]
+        t_hi_r = jnp.take_along_axis(t_hi, r[:, None], axis=1)[:, 0]
+        leave_up = t_hi_r < t_lo_r
+
+        want_stop = (optimal | unbounded) & live
+
+        # --- Phase-1 completion ----------------------------------------- #
+        p1_done = want_stop & in_p1
+        p1_obj = -T[:, -1, -1]
+        infeasible = p1_done & (p1_obj > feas_tol * b_scale)
+        to_p2 = p1_done & ~infeasible
+
+        def flip_phase(args):
+            T, basis, phase = args
+            T_ev, basis_ev = _evict_artificials_bounded_b(
+                T, basis, at_upper, art_mask_ext, col_mask_p2, tol)
+            T_p2 = _price_out_b(T_ev, basis_ev, obj_row_p2)
+            # Objective cell must include the at-upper contributions the
+            # generic price-out cannot know about.
+            cB = jnp.take_along_axis(obj_row_p2, basis_ev, axis=1)
+            z_min = jnp.sum(cB * T_p2[:, :-1, -1], axis=-1) + jnp.sum(
+                jnp.where(at_upper, obj_row_p2[:, :-1] * ub_safe, 0.0),
+                axis=-1)
+            T_p2 = T_p2.at[:, -1, -1].set(-z_min)
+            T = jnp.where(to_p2[:, None, None], T_p2, T)
+            basis = jnp.where(to_p2[:, None], basis_ev, basis)
+            phase = jnp.where(to_p2, jnp.int32(2), phase)
+            return T, basis, phase
+
+        T, basis, phase = lax.cond(
+            jnp.any(to_p2), flip_phase, lambda a: a, (T, basis, phase)
+        )
+
+        # --- Terminal statuses ------------------------------------------ #
+        finish_p2 = want_stop & ~in_p1
+        status = jnp.where(
+            infeasible, STATUS_INFEASIBLE,
+            jnp.where(finish_p2 & optimal, STATUS_OPTIMAL,
+                      jnp.where(finish_p2 & unbounded, STATUS_UNBOUNDED,
+                                status)),
+        )
+
+        moving = (status == RUNNING) & ~to_p2 & live & ~optimal & ~unbounded
+        do_pivot = moving & ~flip
+        do_flip = moving & flip
+
+        if devex:
+            w = _devex_update_b(w, T, basis, r, s, do_pivot)
+
+        # --- BOUND FLIP: no basis change, O(m) state update ------------- #
+        z_min_old = -T[:, -1, -1]
+        xB_flip = jnp.clip(xB - dd * ub_s_safe[:, None], 0.0, ub_B)
+        z_flip = z_min_old + sigma * rc_s * ub_s_safe
+        s_hot = col_idx == s[:, None]                          # (B, n)
+        at_upper_flip = jnp.where(s_hot, ~at_upper, at_upper)
+
+        # --- PIVOT: rank-1 on B^{-1}A + rc; explicit RHS/objective ------ #
+        x_enter = jnp.where(s_from_up, ub_s_safe - theta_safe, theta_safe)
+        xB_piv = xB - dd * theta_safe[:, None]
+        row_hot = jax.nn.one_hot(r, T.shape[1] - 1, dtype=bool, axis=-1)
+        xB_piv = jnp.where(row_hot, x_enter[:, None], xB_piv)
+        z_piv = z_min_old + sigma * rc_s * theta_safe
+        j_out = jnp.take_along_axis(basis, r[:, None], axis=1)[:, 0]
+        T_upd, basis_upd = _pivot_update_b(T, basis, r, s, do_pivot)
+        # Overwrite the RHS column / objective cell with the bounded-
+        # semantics values (the rank-1 RHS formula assumes leave-at-zero).
+        ub_B_new = jnp.take_along_axis(ub, basis_upd, axis=1)
+        xB_piv = jnp.clip(xB_piv, 0.0, ub_B_new)
+        # Fallback = the CURRENT (possibly phase-flipped) state, not the
+        # pre-flip xB/z snapshot — do_pivot/do_flip are disjoint from
+        # to_p2, so the moving instances' snapshots are still current.
+        cur_rhs = T[:, :-1, -1]
+        cur_z = -T[:, -1, -1]
+        rhs_new = jnp.where(do_pivot[:, None], xB_piv,
+                            jnp.where(do_flip[:, None], xB_flip, cur_rhs))
+        T_upd = T_upd.at[:, :-1, -1].set(rhs_new)
+        z_new = jnp.where(do_pivot, z_piv,
+                          jnp.where(do_flip, z_flip, cur_z))
+        T_upd = T_upd.at[:, -1, -1].set(-z_new)
+        # at-upper bookkeeping: leaving variable exits at its bound;
+        # entering/flipping column toggles.
+        jout_hot = col_idx == j_out[:, None]
+        at_up_piv = jnp.where(jout_hot, leave_up[:, None], at_upper)
+        at_up_piv = jnp.where(s_hot, False, at_up_piv)
+        at_upper = jnp.where(do_pivot[:, None], at_up_piv,
+                             jnp.where(do_flip[:, None], at_upper_flip,
+                                       at_upper))
+        T = T_upd
+        basis = basis_upd
+        pivots = pivots + moving.astype(pivots.dtype)
+
+        # Objective-progress tracking (min-form objective non-increasing).
+        obj_b = -T[:, -1, -1]
+        improved = obj_b < best_obj - tol * (1.0 + jnp.abs(best_obj))
+        best_obj = jnp.minimum(best_obj, obj_b)
+        no_imp = jnp.where(improved, 0,
+                           no_imp + moving.astype(no_imp.dtype))
+        inf_ = jnp.asarray(jnp.inf, best_obj.dtype)
+        best_obj = jnp.where(to_p2, inf_, best_obj)
+        no_imp = jnp.where(to_p2, 0, no_imp)
+        if devex:
+            w = jnp.where(to_p2[:, None], 1.0, w)
+
+        since_ref = jnp.where(do_refactor, jnp.int32(1), since_ref + 1)
+        return (T, basis, at_upper, phase, status, iters + 1, since_ref,
+                pivots, best_obj, no_imp, w)
+
+    state0 = (
+        T0, basis0, jnp.zeros((Bsz, N), bool), phase0,
+        jnp.full((Bsz,), RUNNING, jnp.int32),
+        jnp.int32(0), jnp.int32(1),
+        jnp.zeros((Bsz,), jnp.int32),
+        jnp.full((Bsz,), jnp.inf, T0.dtype),
+        jnp.zeros((Bsz,), jnp.int32),
+        jnp.ones((Bsz, N), T0.dtype),
+    )
+    (T, basis, at_upper, phase, status, iters, _, pivots, _, _, _) = \
+        lax.while_loop(cond, body, state0)
+
+    raw_obj = jnp.where((phase == 1)[:, None], obj_row_p1, obj_row_p2)
+    T = _refine_solution_bounded_b(T, basis, basis0, T0_rows, raw_obj,
+                                   at_upper, ub)
+    status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
+    return T, basis, at_upper, status, iters, pivots
+
+
+def extract_solution_batch_bounded(T, basis, at_upper, ub, n_vars: int):
+    """Decision-variable recovery with bounds: basic rows' RHS plus the
+    at-upper nonbasic columns sitting AT their bound."""
+    rhs = T[:, :-1, -1]
+    onehot = basis[:, :, None] == jnp.arange(n_vars,
+                                             dtype=basis.dtype)[None, None, :]
+    x = jnp.sum(jnp.where(onehot, rhs[:, :, None], 0.0), axis=1)
+    ub_safe = jnp.where(jnp.isfinite(ub[:, :n_vars]), ub[:, :n_vars], 0.0)
+    x = jnp.where(at_upper[:, :n_vars], ub_safe, x)
+    z_min = -T[:, -1, -1]
+    return x, z_min
+
+
 def extract_solution_batch(T, basis, n_vars: int):
     """Batched decision-variable recovery: x from basic rows' RHS."""
     rhs = T[:, :-1, -1]                                           # (B, m)

@@ -145,6 +145,12 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         ~B^{-1} = T_cur[:, basis0].  Kept only where it reduces the global
         residual and stays finite, so a drifted instance can never get
         worse.  Comms: three m-vector all-gathers + two scalar psums.
+        Returns the refined RHS column (B, m_loc) — NOT a new tableau:
+        returning the full T from inside the periodic ``lax.cond`` forced
+        XLA's buffer unification to COPY the whole tableau every
+        iteration (~1.8x per-pivot cost at 10240^2 on v5e, found in the
+        round-4 real-chip bench); the caller writes the column back with
+        one in-place dynamic-update-slice instead.
         """
         xB_loc = T_cur[:, :, -1]
         basis_full = _gather_rows(basis_cur)
@@ -160,8 +166,7 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
             jnp.all(jnp.isfinite(xB1_loc), axis=1).astype(jnp.int32), axis
         ) > 0
         better = (ss1 < ss0) & finite
-        xB_out = jnp.where(better[:, None], xB1_loc, xB_loc)
-        return T_cur.at[:, :, -1].set(xB_out)
+        return jnp.where(better[:, None], xB1_loc, xB_loc)
 
     def _reprice(T_cur, basis_cur, raw_obj):
         """Exact reduced costs for the current rows: raw - c_B' T_rows."""
@@ -185,17 +190,29 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         use_bland = no_imp >= bland_after
 
         # ---- periodic drift resync (replicated predicate, all devices
-        # branch together — collectives inside the cond are safe) --------- #
+        # branch together — collectives inside the cond are safe).  The
+        # branches return ONLY the refined RHS column + objective row:
+        # passing the full tableau through the cond made XLA copy it every
+        # iteration to unify the identity branch's aliased output with the
+        # resync branch's fresh one (~1.8x per-pivot, round-4 bench). ---- #
         def resync(args):
             T_c, obj_c = args
-            T_n = _newton_rhs(T_c, basis_loc)
-            obj_n = _reprice(T_n, basis_loc, raw_obj)
-            T_n = jnp.where(live[:, None, None], T_n, T_c)
+            xB_n = _newton_rhs(T_c, basis_loc)
+            obj_n = _reprice(T_c, basis_loc, raw_obj)
+            # The objective CELL must price against the REFINED x_B.
+            cB = jnp.where(row_valid_loc,
+                           jnp.take_along_axis(raw_obj, basis_loc, axis=1),
+                           0.0)
+            z_min = lax.psum(jnp.sum(cB * xB_n, axis=1), axis)
+            obj_n = obj_n.at[:, -1].set(raw_obj[:, -1] - z_min)
+            xB_n = jnp.where(live[:, None], xB_n, T_c[:, :, -1])
             obj_n = jnp.where(live[:, None], obj_n, obj_c)
-            return T_n, obj_n
+            return xB_n, obj_n
 
         do_rf = since_ref >= refactor_every
-        T_loc, obj = lax.cond(do_rf, resync, lambda a: a, (T_loc, obj))
+        xB_upd, obj = lax.cond(
+            do_rf, resync, lambda a: (a[0][:, :, -1], a[1]), (T_loc, obj))
+        T_loc = T_loc.at[:, :, -1].set(xB_upd)
 
         # ---- pricing (replicated compute, no comms) -------------------- #
         rc = jnp.where(col_mask, obj[:, :-1], jnp.inf)
@@ -209,10 +226,17 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         optimal = ~jnp.any(eligible, axis=-1)
 
         # ---- ratio test (local + pmin collectives) --------------------- #
-        # Column extraction as a one-hot MXU contraction (lane-axis
-        # take_along_axis is a slow multi-pass gather on TPU).
+        # Column extraction: at B_loc = 1 (one huge sharded LP — the
+        # BASELINE config-5 shape) a traced-index dynamic_slice reads
+        # O(m_loc) bytes; the one-hot MXU contraction, which exists because
+        # per-instance lane indices defeat dynamic_slice at B_loc > 1,
+        # reads the WHOLE tableau (one extra full HBM pass per pivot).
         s_hot = jax.nn.one_hot(s, N1, dtype=dt)              # (B, N+1)
-        col_loc = jnp.einsum("bmn,bn->bm", T_loc, s_hot)     # (B, m_loc)
+        if Bl == 1:
+            col_loc = lax.dynamic_slice(
+                T_loc, (0, 0, s[0]), (1, T_loc.shape[1], 1))[:, :, 0]
+        else:
+            col_loc = jnp.einsum("bmn,bn->bm", T_loc, s_hot)  # (B, m_loc)
         rhs_loc = T_loc[:, :, -1]
         is_art_row = jnp.take_along_axis(art_ext, basis_loc, axis=1)
         positive = (col_loc > tol) & row_valid_loc
@@ -283,8 +307,14 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         r_loc = jnp.argmax(owner_rows, axis=1)               # (B,)
 
         # ---- pivot-row broadcast (psum of masked contribution) --------- #
-        r_hot = jax.nn.one_hot(r_loc, T_loc.shape[1], dtype=dt)  # (B, m_loc)
-        piv_row_own = jnp.einsum("bm,bmn->bn", r_hot, T_loc)     # (B, N+1)
+        # Row extraction: same B_loc = 1 specialization (a row slice is
+        # O(N) bytes; the one-hot contraction is another full tableau pass).
+        if Bl == 1:
+            piv_row_own = lax.dynamic_slice(
+                T_loc, (0, r_loc[0], 0), (1, 1, N1))[:, 0, :]
+        else:
+            r_hot = jax.nn.one_hot(r_loc, T_loc.shape[1], dtype=dt)
+            piv_row_own = jnp.einsum("bm,bmn->bn", r_hot, T_loc)  # (B, N+1)
         pivot_own = jnp.einsum("bn,bn->b", piv_row_own, s_hot)
         safe = jnp.where(has_owner & (jnp.abs(pivot_own) > 0), pivot_own, 1.0)
         contrib = jnp.where(has_owner[:, None], piv_row_own / safe[:, None],
@@ -379,7 +409,7 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
     # Final polish: Newton-refine x_B and recompute the objective value from
     # the refined solution, so reported numbers are drift-free
     # (the sharded counterpart of ops/batched._refine_solution_b).
-    T_loc = _newton_rhs(T_loc, basis_loc)
+    T_loc = T_loc.at[:, :, -1].set(_newton_rhs(T_loc, basis_loc))
     raw_obj = jnp.where((phase == 1)[:, None], obj_row_p1, obj_row_p2)
     cB = jnp.where(row_valid_loc,
                    jnp.take_along_axis(raw_obj, basis_loc, axis=1), 0.0)
