@@ -511,6 +511,87 @@ def bench_pdhg(B: int = 65536, m: int = 20, n: int = 30, reps: int = 3):
     }
 
 
+def bench_stream(total: int = 1_000_000, chunk: int = 250_000,
+                 m: int = 20, n: int = 30):
+    """1M-instance sweep END-TO-END through the streaming driver.
+
+    VERDICT r3 item 3: the r2 measurement generated + staged all four
+    250k chunks serially (927 s wall for 93.7 s of device time);
+    ``models/pdhg.solve_arrays_stream`` was built to overlap generation/
+    canonicalization/staging of chunk k+1 with chunk k's device solve,
+    and unconverged instances are exact-recovered through ONE certified
+    batched device call per chunk.  This measures that pipeline for real:
+    wall-clock from first generation to last result, vs the pure device
+    solve time of the same compiled shape (re-timed on a staged chunk).
+    Acceptance: wall <= ~2x device.
+    """
+    import jax
+    import jax.numpy as jnp
+    from simplex_tpu.models import pdhg as pdhg_mod
+
+    n_chunks = total // chunk
+
+    def gen():
+        for k in range(n_chunks):
+            rng = np.random.default_rng(100 + k)
+            A = rng.uniform(0.05, 1.0, size=(chunk, m, n)).astype(np.float32)
+            b = rng.uniform(1.0, 5.0, size=(chunk, m)).astype(np.float32)
+            c = rng.uniform(0.1, 1.0, size=(chunk, n)).astype(np.float32)
+            yield c, A, b, np.full((m,), -1)
+
+    def one_pass():
+        t0 = time.perf_counter()
+        converged = recovered = 0
+        per_chunk = []
+        for res in pdhg_mod.solve_arrays_stream(
+                gen(), tol=1e-4, max_iters=10000, maximize=True,
+                crossover="unconverged"):
+            converged += int(np.sum(res.converged))
+            recovered += 0 if res.exact is None else len(res.exact)
+            per_chunk.append(round(res.solve_time, 2))
+        return time.perf_counter() - t0, converged, recovered, per_chunk
+
+    # Cold pass compiles every program in the pipeline (PDHG solve,
+    # recovery batch solve, certification shapes) — in a production sweep
+    # those compiles amortize across runs (and persistent compilation
+    # caches keep them across processes), so the WARM pass is the
+    # steady-state number and the cold pass is reported alongside.
+    cold_wall, _, _, _ = one_pass()
+    wall, converged, recovered, per_chunk = one_pass()
+
+    # Pure device time of the same compiled shape, inputs pre-staged.
+    rng = np.random.default_rng(100)
+    A = jnp.asarray(rng.uniform(0.05, 1.0, (chunk, m, n)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(1.0, 5.0, (chunk, m)).astype(np.float32))
+    c = jnp.asarray(-rng.uniform(0.1, 1.0, (chunk, n)).astype(np.float32))
+    is_eq = jnp.zeros((chunk, m), bool)
+    jax.block_until_ready((A, b, c))
+    out = pdhg_mod._pdhg_solve(A, b, c, is_eq, max_iters=10000, tol=1e-4)
+    float(jnp.sum(out[0]))
+    t0 = time.perf_counter()
+    out = pdhg_mod._pdhg_solve(A, b, c, is_eq, max_iters=10000, tol=1e-4)
+    float(jnp.sum(out[0]))
+    device_s = (time.perf_counter() - t0) * n_chunks
+
+    return {
+        "metric": f"stream_end_to_end_lps_per_sec_{total}",
+        "value": round(total / wall, 1),
+        "unit": "LPs/s end-to-end (gen+stage+solve+recover)",
+        "vs_baseline": round(wall / device_s, 3),   # <= ~2.0 is the target
+        "detail": {
+            "wall_s": round(wall, 1),
+            "cold_wall_s": round(cold_wall, 1),
+            "device_solve_s": round(device_s, 1),
+            "wall_over_device": round(wall / device_s, 3),
+            "chunks": n_chunks,
+            "chunk_wall_s": per_chunk,
+            "converged": converged,
+            "exact_recovered": recovered,
+            "converged_frac": round(converged / total, 5),
+        },
+    }
+
+
 def bench_dense_solve(size: int = 2048):
     """End-to-end single-LP solve at (size x size): the full production loop
     (pricing + ratio test + pivot + periodic refactorization), reported as
@@ -561,6 +642,10 @@ def main():
     p.add_argument("--sharded", action="store_true",
                    help="run the row-sharded kernel on the real chip "
                         "((1,1) mesh; VERDICT r3 item 1)")
+    p.add_argument("--stream", action="store_true",
+                   help="run the 1M-instance end-to-end streaming sweep "
+                        "(VERDICT r3 item 3)")
+    p.add_argument("--stream-total", type=int, default=1_000_000)
     p.add_argument("--no-batched-detail", action="store_true",
                    help="skip the batched sub-benchmark in the default mode")
     args = p.parse_args()
@@ -577,6 +662,9 @@ def main():
             out = bench_sharded(args.size, args.iters,
                                 reps=min(args.reps, 3),
                                 compare_size=min(8192, args.size))
+        elif args.stream:
+            out = bench_stream(total=args.stream_total,
+                               chunk=min(250_000, args.stream_total))
         else:
             out = bench_pivot_update(args.size, args.iters, reps=args.reps,
                                      with_batched=not args.no_batched_detail)

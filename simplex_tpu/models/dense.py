@@ -88,6 +88,11 @@ class SimplexResult:
     basis: Optional[np.ndarray] = None  # final basis column indices
     z: Optional[float] = None   # objective in the USER sense (max ⇒ -fun)
     solve_time: float = 0.0
+    # Bounded solves (revised engine): (n_pad,) bool — nonbasic columns at
+    # their finite upper bound, in the engine's NORMALIZED padded space.
+    # Feed back together with ``basis`` as a warm start
+    # (``RevisedSimplexSolver.solve(warm_basis=..., warm_at_upper=...)``).
+    at_upper: Optional[np.ndarray] = None
     # Sensitivity (None unless optimal and computable) — USER-sense signs:
     # duals[i] = dZ_user/db_i (shadow price of constraint i);
     # reduced_costs[j] = dZ_user/dx_j when forcing nonbasic x_j off its bound
@@ -336,7 +341,8 @@ def _certify_optimal_basis(sf: StandardForm, lp: LinearProgram,
     return bool(np.all(rc[valid] >= -tol * c_scale))
 
 
-def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
+def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000,
+                      perturb: bool = False):
     """Reference two-phase dense simplex in numpy float64 (host).
 
     The escalation engine behind :func:`solve_lp`: when the f32 device
@@ -346,6 +352,15 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
     Pure numpy — no toolchain or device dependency — and returns the basis
     so the refine/sensitivity machinery applies unchanged.
     Returns ``(status, basis, nit)``.
+
+    ``perturb``: classical anti-degeneracy RHS perturbation — add a tiny
+    deterministic jitter (~1e-8 relative) to b, solve, then RESTORE the
+    exact b by refactoring the final basis.  Massively degenerate LPs
+    (the round-4 adversarial corpus: exact ties on 30% of rows) ground
+    through 100k stall-gated pivots unperturbed and ~2k perturbed; the
+    caller re-runs phase 2 on the restored data if the perturbed basis
+    came back slightly infeasible, and certification downstream judges
+    the final answer either way.
     """
     T = sf64.tableau.astype(np.float64).copy()
     basis = sf64.basis.astype(np.int64).copy()
@@ -355,6 +370,15 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
     T0_rows = sf64.tableau.astype(np.float64)[:-1]
     tol = 1e-9
     nit = 0
+    b_true = None
+    if perturb:
+        T0_rows = T0_rows.copy()
+        b_true = T0_rows[:, n_pad].copy()
+        jit_rng = np.random.default_rng(0x5EED)
+        b_pert = b_true + 1e-8 * (1.0 + np.abs(b_true)) \
+            * jit_rng.uniform(0.5, 1.5, size=b_true.shape[0])
+        T0_rows[:, n_pad] = b_pert
+        T[:-1, n_pad] = b_pert
 
     def refactor(obj_raw):
         nonlocal T
@@ -372,6 +396,8 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
     def run_phase(col_mask, obj_raw):
         nonlocal T, basis, nit
         since, no_imp, best = 0, 0, np.inf
+        stalled_total = 0
+        bland_lock = False
         w = np.ones((T.shape[1] - 1,))       # Devex reference weights
         for _ in range(max_iters):
             rc = np.where(col_mask, T[-1, :-1], np.inf)
@@ -381,7 +407,23 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
                     since = 0
                     continue
                 return STATUS_OPTIMAL
-            if no_imp >= 64:
+            # Stall-gated Bland with a PERMANENT lock: the gate disengages
+            # on any improvement, which on massively degenerate LPs lets
+            # Devex re-enter the same degenerate face forever (measured:
+            # 60k+ pivots without termination on the round-4 adversarial
+            # corpus).  After a cumulative stall budget, commit to Bland's
+            # rule outright — its finite-termination theorem needs the
+            # rule applied CONSISTENTLY.
+            if stalled_total >= 4096:
+                bland_lock = True
+            if bland_lock and no_imp >= 4096:
+                # Even committed Bland made zero progress for 4k pivots:
+                # the basis is numerically wedged (typically singular
+                # from accumulated tiny pivots) — give up fast instead of
+                # burning the full cap (certification downstream reports
+                # the honest iteration-limit verdict).
+                return STATUS_ITERATION_LIMIT
+            if bland_lock or no_imp >= 64:
                 s = int(np.argmax(eligible))
             else:
                 s = int(np.argmax(np.where(eligible, rc * rc / w,
@@ -394,14 +436,43 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
                     since = 0
                     continue
                 return 3  # unbounded
-            ratios = np.where(pos, rhs / np.where(pos, col, 1.0), np.inf)
-            if no_imp >= 64:             # Bland row rule
-                near = ratios <= ratios.min() * (1 + 1e-12) + 1e-300
-                key = np.where(near & pos, basis, np.iinfo(np.int64).max)
+            # Never step backward: Harris's tolerance-relaxed pivots can
+            # leave slightly-NEGATIVE rhs entries; an unclamped ratio then
+            # goes negative, the "min ratio" pivot takes a backward step
+            # (objective INCREASES), and tiny-pivot amplification turns
+            # the tolerance debt into runaway infeasibility (measured on
+            # the round-4 corpus: min-form objective 686 -> 1.4e6 over
+            # 16k pivots).  Clamping makes such rows exit at theta = 0 —
+            # a degenerate pivot — which restores their feasibility.
+            rhs_c = np.maximum(rhs, 0.0)
+            ratios = np.where(pos, rhs_c / np.where(pos, col, 1.0), np.inf)
+            if bland_lock or no_imp >= 64:   # Bland row rule
+                # The tie window must admit round-off-level ratios: at a
+                # degenerate vertex the tied rows carry rhs ~1e-15 noise,
+                # and a window of min*(1+1e-12)+1e-300 (i.e. [0, 1e-300]
+                # when min = 0) excluded them — Bland then picked a
+                # NON-minimal-ratio row, voiding its termination theorem
+                # (measured: 96k Bland pivots without exit on the round-4
+                # adversarial corpus; the device kernels already use the
+                # eps-scaled window).
+                mn = float(ratios.min())
+                near = ratios <= mn + 64.0 * np.finfo(np.float64).eps \
+                    * (1.0 + abs(mn))
+                cand = near & pos
+                # Pivot-magnitude floor: a Bland pivot on a ~1e-9 entry
+                # multiplies the row by ~1e9 and was observed to drive
+                # the basis numerically SINGULAR on the round-4 corpus;
+                # among tied rows prefer small indices but only over
+                # pivots within 1e-7 of the largest available.
+                cmax = float(col[cand].max())
+                good = cand & (col >= max(1e-7 * cmax, tol))
+                if not good.any():
+                    good = cand & (col == cmax)
+                key = np.where(good, basis, np.iinfo(np.int64).max)
                 r = int(np.argmin(key))
             else:                        # Harris: biggest pivot in window
                 delta = tol * (1.0 + np.abs(rhs))
-                tmax = np.where(pos, (rhs + delta) /
+                tmax = np.where(pos, (rhs_c + delta) /
                                 np.where(pos, col, 1.0), np.inf).min()
                 cand = pos & (ratios <= tmax)
                 r = int(np.argmax(np.where(cand, col, -np.inf)))
@@ -414,6 +485,15 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
             if w.max() > 1e8:
                 w[:] = 1.0
             prow = T[r] / T[r, s]
+            # Execute the CLAMPED step: selection treated a tolerance-
+            # negative rhs row as a theta = 0 tie; the elimination must
+            # execute that same theta (prow[-1] = rhs_r/pivot), or every
+            # other row takes a backward step and the tolerance debt
+            # amplifies through small pivots (observed: objective racing
+            # UP by 1e6 on the round-4 corpus).  Equivalent to EXPAND-
+            # style bound shifting; the periodic refactorization against
+            # the exact data keeps total drift at tolerance level.
+            prow[-1] = max(prow[-1], 0.0)
             T = T - T[:, s:s + 1] * prow[None, :]
             T[r] = prow
             T[:, s] = 0.0
@@ -425,10 +505,18 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
             # NaN-safe stall gate: best starts at +inf, and inf - inf is
             # NaN (which compares False) — track the running minimum
             # unconditionally, like the device kernels do.
+            if obj < -1e14:
+                # Objective runaway: equilibrated data is O(1e±2), so a
+                # legitimate finite optimum cannot reach -1e14 — the loop
+                # is riding an unbounded ray whose reduced cost never
+                # quite clears the pricing tolerance (the classic
+                # practical unboundedness cutoff; CPLEX uses -1e75).
+                return 3
             if not np.isfinite(best) or obj < best - tol * (1.0 + abs(best)):
                 no_imp = 0
             else:
                 no_imp += 1
+                stalled_total += 1
             best = min(best, obj)
             if since >= 256:
                 refactor(obj_raw)
@@ -460,6 +548,17 @@ def _host_simplex_f64(sf64: StandardForm, max_iters: int = 100000):
     obj2 = raw2 - raw2[basis] @ T[:-1]
     T[-1] = obj2
     st = run_phase(sf64.col_mask_p2, raw2)
+    if perturb and st == STATUS_OPTIMAL:
+        # Restore the EXACT rhs and refactor the optimal basis; if the
+        # true x_B picked up a small infeasibility (the perturbation was
+        # the separation between tied vertices), finish with phase-2
+        # pivots on the exact data — the basis is optimal for a problem
+        # 1e-8 away, so this is a handful of cleanup steps.
+        T0_rows[:, n_pad] = b_true
+        if refactor(raw2):
+            if np.min(T[:-1, -1]) >= -tol * (1.0 + np.abs(b_true).max()):
+                return (st, basis, nit)
+            st = run_phase(sf64.col_mask_p2, raw2)
     return (st, basis, nit)
 
 
@@ -477,6 +576,37 @@ def solve_lp_host_exact(lp: LinearProgram,
     single-LP verdict end up certified by the identical machinery.
     """
     t0 = time.perf_counter()
+    if config.presolve and _equilibrate_gate(lp):
+        # Same Ruiz wrapper as solve_lp: the exact engine is the LAST
+        # escalation stop, and unscaled 1e±4 spreads can defeat even its
+        # f64 pricing tolerance (a sweep-path escalation was observed to
+        # confirm a fake 'unbounded' on raw data that the equilibrated
+        # engines solve to a certified optimum).
+        from ..core.presolve import equilibrate
+
+        lp_e, eq = equilibrate(lp)
+        if not eq.identity:
+            res = solve_lp_host_exact(lp_e, config)
+            if res.x is not None:
+                res.x = eq.restore_x(res.x)
+                c_min = -lp.c if lp.maximize else lp.c
+                res.fun = float(c_min @ res.x)
+                res.z = (-res.fun if lp.maximize else res.fun) + 0.0
+            # The bounded inner path returns duals over the ROW-LOWERED
+            # system (structural + bound rows) — only restore sensitivity
+            # when shapes line up with the original LP.
+            if res.duals is not None and \
+                    res.duals.shape[0] == lp.n_cons:
+                res.duals = eq.restore_duals(res.duals)
+            else:
+                res.duals = None
+            if res.reduced_costs is not None and \
+                    res.reduced_costs.shape[0] == lp.n_vars:
+                res.reduced_costs = eq.restore_reduced(res.reduced_costs)
+            else:
+                res.reduced_costs = None
+            res.solve_time = time.perf_counter() - t0
+            return res
     if lp.has_finite_bounds:
         res = solve_lp_host_exact(lower_bounds_to_rows(lp), config)
         res.solve_time = time.perf_counter() - t0
@@ -561,6 +691,16 @@ def _try_warm_start(sf: StandardForm,
     )
 
 
+def _equilibrate_gate(lp: LinearProgram) -> bool:
+    """True when the LP's coefficient range warrants Ruiz scaling (the
+    scaled recursive call lands under the threshold, ending recursion)."""
+    if lp.n_cons == 0:
+        return False
+    from ..core.presolve import coefficient_range
+
+    return coefficient_range(lp.A) > 1e3
+
+
 def solve_lp(lp: LinearProgram,
              config: SolverConfig = DEFAULT_CONFIG,
              warm_basis: Optional[np.ndarray] = None) -> SimplexResult:
@@ -575,6 +715,26 @@ def solve_lp(lp: LinearProgram,
     """
     t0 = time.perf_counter()
     dtype = resolve_dtype(config.dtype)
+
+    if config.presolve and _equilibrate_gate(lp):
+        # Ruiz equilibration for 1e±4 netlib-style coefficient spreads
+        # (core/presolve.equilibrate) — same wrapper as the revised
+        # engine; identity below a 1e3 range so well-scaled solves are
+        # untouched.
+        from ..core.presolve import equilibrate
+
+        lp_e, eq = equilibrate(lp)
+        if not eq.identity:
+            res = solve_lp(lp_e, config, warm_basis)
+            if res.x is not None:
+                res.x = eq.restore_x(res.x)
+                c_min = -lp.c if lp.maximize else lp.c
+                res.fun = float(c_min @ res.x)
+                res.z = (-res.fun if lp.maximize else res.fun) + 0.0
+            res.duals = eq.restore_duals(res.duals)
+            res.reduced_costs = eq.restore_reduced(res.reduced_costs)
+            res.solve_time = time.perf_counter() - t0
+            return res
 
     if lp.has_finite_bounds:
         # The dense tableau kernel has no bounded ratio test — lower finite

@@ -77,7 +77,10 @@ def _select_pivot_b(T, basis, col_mask, tol, use_bland, weights=None):
     col = _gather_col(T, s)[:, :-1]
     rhs = T[:, :-1, -1]
     positive = col > tol
-    ratios = jnp.where(positive, rhs / jnp.where(positive, col, 1.0), jnp.inf)
+    # Backward-step clamp — see ops/tableau.select_pivot.
+    rhs_c = jnp.maximum(rhs, 0.0)
+    ratios = jnp.where(positive, rhs_c / jnp.where(positive, col, 1.0),
+                       jnp.inf)
     min_ratio = jnp.min(ratios, axis=-1)
     unbounded = (~optimal) & jnp.isinf(min_ratio)
 
@@ -86,7 +89,7 @@ def _select_pivot_b(T, basis, col_mask, tol, use_bland, weights=None):
     # its termination proof needs (same design as ops/tableau.select_pivot).
     delta = tol * (1.0 + jnp.abs(rhs))
     theta_relax = jnp.where(positive,
-                            (rhs + delta) / jnp.where(positive, col, 1.0),
+                            (rhs_c + delta) / jnp.where(positive, col, 1.0),
                             jnp.inf)
     theta_max = jnp.min(theta_relax, axis=-1)
     cand = positive & (ratios <= theta_max[:, None])
@@ -128,8 +131,15 @@ def _devex_update_b(w, T, basis, r, s, active):
     return jnp.where(active[:, None], w_new, w)
 
 
-def _pivot_update_b(T, basis, r, s, active):
-    """Batched masked rank-1 pivot: inactive instances pass through untouched."""
+def _pivot_update_b(T, basis, r, s, active, clamp_rhs: bool = False):
+    """Batched masked rank-1 pivot: inactive instances pass through untouched.
+
+    ``clamp_rhs``: execute theta = max(rhs_r, 0)/pivot instead of the raw
+    ratio — required on the primal solve path so tolerance-negative rhs
+    rows pivot at theta = 0 rather than stepping every other row backward
+    (see ops/tableau.pivot_update; round-4 adversarial corpus find).
+    Eviction sweeps keep the exact step (their pivot sign is arbitrary
+    and levels are ~0)."""
     B, M, N = T.shape
     row_hot_f = jax.nn.one_hot(r, M, dtype=T.dtype)              # (B, M)
     piv_row = jnp.einsum("bm,bmn->bn", row_hot_f, T)             # row gather
@@ -137,6 +147,9 @@ def _pivot_update_b(T, basis, r, s, active):
     pivot = jnp.einsum("bn,bn->b", piv_row, col_hot_f)
     safe_pivot = jnp.where(active & (jnp.abs(pivot) > 0), pivot, 1.0)
     piv_row = piv_row / safe_pivot[:, None]
+    if clamp_rhs:
+        piv_row = piv_row.at[:, N - 1].set(
+            jnp.maximum(piv_row[:, N - 1], 0.0))
 
     col = _gather_col(T, s)
     T_new = T - col[:, :, None] * piv_row[:, None, :]
@@ -280,6 +293,17 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        # Mosaic requires each block's second-to-last dim divisible by 8
+        # (or equal to the array dim); _pick_block_b returns a power of
+        # two DIVIDING B, so a batch count with few factors of 2 (e.g. an
+        # odd escalation subset) cannot produce a legal block — run the
+        # XLA step instead of failing to lower.
+        from . import pallas_batched as _pb
+
+        bb = _pb._pick_block_b(T0.shape[0], T0.shape[1], T0.shape[2])
+        if bb % 8 != 0 and bb != T0.shape[0]:
+            backend = "xla"
     use_pallas = backend in ("pallas", "pallas_interpret")
     if use_pallas:
         from . import pallas_batched
@@ -386,7 +410,7 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
                       & ~optimal & ~unbounded)
             if devex:
                 w = _devex_update_b(w, T, basis, r, s, active)
-            T, basis = _pivot_update_b(T, basis, r, s, active)
+            T, basis = _pivot_update_b(T, basis, r, s, active, clamp_rhs=True)
         pivots = pivots + active.astype(pivots.dtype)
 
         # Objective-progress tracking for the stall-gated Bland switch
@@ -611,9 +635,12 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
         pos = dd > tol
         neg = (dd < -tol) & jnp.isfinite(ub_B)
         art_exit = (~in_p1)[:, None] & is_art_row & (jnp.abs(dd) > tol)
-        t_lo = jnp.where(pos, xB / jnp.where(pos, dd, 1.0), jnp.inf)
+        # Backward-step clamps on BOTH limits (see ops/tableau).
+        xB_c = jnp.maximum(xB, 0.0)
+        span_c = jnp.maximum(ub_B - xB, 0.0)
+        t_lo = jnp.where(pos, xB_c / jnp.where(pos, dd, 1.0), jnp.inf)
         t_lo = jnp.where(art_exit, 0.0, t_lo)
-        t_hi = jnp.where(neg, (ub_B - xB) / jnp.where(neg, -dd, 1.0),
+        t_hi = jnp.where(neg, span_c / jnp.where(neg, -dd, 1.0),
                          jnp.inf)
         t_row = jnp.minimum(t_lo, t_hi)
         cand = pos | neg | art_exit
@@ -627,9 +654,9 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
         # tolerance, take the largest |pivot| inside the window.
         delta_lo = tol * (1.0 + jnp.abs(xB))
         delta_hi = tol * (1.0 + jnp.abs(ub_B - xB))
-        t_lo_rel = jnp.where(pos, (xB + delta_lo) /
+        t_lo_rel = jnp.where(pos, (xB_c + delta_lo) /
                              jnp.where(pos, dd, 1.0), jnp.inf)
-        t_hi_rel = jnp.where(neg, (ub_B - xB + delta_hi) /
+        t_hi_rel = jnp.where(neg, (span_c + delta_hi) /
                              jnp.where(neg, -dd, 1.0), jnp.inf)
         theta_max = jnp.min(jnp.minimum(t_lo_rel, t_hi_rel), axis=-1)
         harris_cand = (cand & (t_row <= theta_max[:, None])) | art_exit

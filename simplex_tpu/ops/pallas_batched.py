@@ -87,7 +87,10 @@ def _make_kernel(tol: float, devex: bool):
         colc = col[:, : M - 1]
         rhs = T[:, : M - 1, N - 1]
         positive = colc > tol
-        ratios = jnp.where(positive, rhs / jnp.where(positive, colc, 1.0),
+        # Backward-step clamp — see ops/tableau.select_pivot.
+        rhs_c = jnp.maximum(rhs, 0.0)
+        ratios = jnp.where(positive,
+                           rhs_c / jnp.where(positive, colc, 1.0),
                            jnp.inf)
         min_ratio = jnp.min(ratios, axis=-1, keepdims=True)      # (bB, 1)
         unbounded = (~optimal) & jnp.isinf(min_ratio)            # (bB, 1)
@@ -95,7 +98,7 @@ def _make_kernel(tol: float, devex: bool):
         # stability; Bland mode keeps the smallest-basis-index tie-break.
         delta = tol * (1.0 + jnp.abs(rhs))
         theta_relax = jnp.where(
-            positive, (rhs + delta) / jnp.where(positive, colc, 1.0),
+            positive, (rhs_c + delta) / jnp.where(positive, colc, 1.0),
             jnp.inf)
         theta_max = jnp.min(theta_relax, axis=-1, keepdims=True)
         cand = positive & (ratios <= theta_max)
@@ -122,6 +125,10 @@ def _make_kernel(tol: float, devex: bool):
         is_s3 = idx_n3 == s[:, None, None]                       # (bB, 1, N)
         prow = jnp.sum(T * is_r3.astype(dtype), axis=1)          # (bB, N)
         prow_n = prow / safe                                     # (bB, N)
+        # Execute the clamped step theta = max(rhs_r, 0)/pivot — see
+        # ops/tableau.pivot_update (round-4 backward-step fix).
+        last = idx_n == (N - 1)
+        prow_n = jnp.where(last, jnp.maximum(prow_n, 0.0), prow_n)
 
         if devex:
             # Weight update from the normalized pivot row (alpha) — VMEM

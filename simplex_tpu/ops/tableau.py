@@ -66,7 +66,16 @@ def select_pivot(T, basis, col_mask, tol, use_bland, weights=None):
     col = T[:-1, s]
     rhs = T[:-1, -1]
     positive = col > tol
-    ratios = jnp.where(positive, rhs / jnp.where(positive, col, 1.0), jnp.inf)
+    # Never step backward: Harris-relaxed pivots leave tolerance-level
+    # NEGATIVE rhs entries; unclamped, those rows later produce negative
+    # ratios and the "minimum ratio" pivot steps BACKWARD (objective
+    # worsens, infeasibility feeds back and amplifies through tiny
+    # pivots — seen as runaway objectives on the round-4 adversarial
+    # corpus).  Clamped, such rows exit at theta = 0 (degenerate pivot),
+    # which restores their feasibility.
+    rhs_c = jnp.maximum(rhs, 0.0)
+    ratios = jnp.where(positive, rhs_c / jnp.where(positive, col, 1.0),
+                       jnp.inf)
     min_ratio = jnp.min(ratios)
     unbounded = (~optimal) & jnp.isinf(min_ratio)
 
@@ -80,7 +89,7 @@ def select_pivot(T, basis, col_mask, tol, use_bland, weights=None):
     # per pivot, which the periodic exact refactorization re-zeroes.
     delta = tol * (1.0 + jnp.abs(rhs))
     theta_relax = jnp.where(positive,
-                            (rhs + delta) / jnp.where(positive, col, 1.0),
+                            (rhs_c + delta) / jnp.where(positive, col, 1.0),
                             jnp.inf)
     theta_max = jnp.min(theta_relax)
     cand = positive & (ratios <= theta_max)
@@ -98,7 +107,7 @@ def select_pivot(T, basis, col_mask, tol, use_bland, weights=None):
     return s, r, optimal, unbounded
 
 
-def pivot_update(T, basis, r, s):
+def pivot_update(T, basis, r, s, clamp_rhs: bool = False):
     """Rank-1 row-reduction pivot: eliminate column ``s`` against row ``r``.
 
     This is the per-iteration O(m·n) HBM-bound operation that BASELINE.json
@@ -113,6 +122,15 @@ def pivot_update(T, basis, r, s):
     pivot = T[r, s]
     inv = 1.0 / pivot
     piv_row = lax.dynamic_slice(T, (r, 0), (1, N)) * inv        # (1, N)
+    if clamp_rhs:
+        # Execute the clamped step theta = max(rhs_r, 0)/pivot (primal
+        # pivots have pivot > tol): the ratio test already treats
+        # tolerance-negative rhs rows as theta = 0 ties, and executing
+        # the raw negative theta instead walks every other row backward
+        # — the tolerance debt then amplifies through small pivots
+        # (EXPAND-style shifting; round-4 adversarial corpus find).
+        piv_row = piv_row.at[0, N - 1].set(
+            jnp.maximum(piv_row[0, N - 1], 0.0))
     col = lax.dynamic_slice(T, (0, s), (M, 1))                  # (M, 1)
     is_r = lax.broadcasted_iota(jnp.int32, (M, 1), 0) == r
     is_s = lax.broadcasted_iota(jnp.int32, (1, N), 1) == s
@@ -267,7 +285,7 @@ def _run_phase(T, basis, col_mask, T0_rows, raw_obj,
             T, basis, since_ref, w = args
             if devex:
                 w = _devex_update(w, T, basis, r, s)
-            T, basis = pivot_update(T, basis, r, s)
+            T, basis = pivot_update(T, basis, r, s, clamp_rhs=True)
             return T, basis, since_ref + 1, w
 
         T, basis, since_ref, w = lax.switch(
@@ -632,7 +650,7 @@ def solve_tableau_history(T0, basis0, col_mask_p1, col_mask_p2, obj_row_p2,
                 T, basis, w = args
                 if devex:
                     w = _devex_update(w, T, basis, r, s)
-                T, basis = pivot_update(T, basis, r, s)
+                T, basis = pivot_update(T, basis, r, s, clamp_rhs=True)
                 return T, basis, w
 
             T_next, basis_next, w = lax.cond(do, do_pivot, lambda a: a,

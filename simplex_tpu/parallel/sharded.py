@@ -245,8 +245,10 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         # phase 1 artificials carry the RHS and must obey the normal test.
         art_exit = ((~in_p1)[:, None] & is_art_row
                     & (jnp.abs(col_loc) > tol) & row_valid_loc)
-        ratios = jnp.where(positive, rhs_loc / jnp.where(positive, col_loc,
-                                                         1.0), jnp.inf)
+        # Backward-step clamp — see ops/tableau.select_pivot.
+        rhs_c = jnp.maximum(rhs_loc, 0.0)
+        ratios = jnp.where(positive, rhs_c / jnp.where(positive, col_loc,
+                                                       1.0), jnp.inf)
         ratios = jnp.where(art_exit, 0.0, ratios)
         cand = positive | art_exit
 
@@ -266,7 +268,7 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         # "artificials leave first".
         delta = tol * (1.0 + jnp.abs(rhs_loc))
         theta_relax = jnp.where(
-            positive, (rhs_loc + delta) / jnp.where(positive, col_loc, 1.0),
+            positive, (rhs_c + delta) / jnp.where(positive, col_loc, 1.0),
             jnp.inf)
         theta_max = lax.pmin(jnp.min(theta_relax, axis=1), axis)
         harris_cand = (positive & (ratios <= theta_max[:, None])) | art_exit
@@ -320,6 +322,10 @@ def _sharded_body(T_loc, basis_loc, obj, col_mask_p1, col_mask_p2,
         contrib = jnp.where(has_owner[:, None], piv_row_own / safe[:, None],
                             0.0)
         piv_row = lax.psum(contrib, axis)                    # (B, N+1)
+        # Execute the clamped step theta = max(rhs_r, 0)/pivot — see
+        # ops/tableau.pivot_update (round-4 backward-step fix); artificial-
+        # exit rows sit at ~0 so the clamp keeps them degenerate too.
+        piv_row = piv_row.at[:, -1].set(jnp.maximum(piv_row[:, -1], 0.0))
 
         # ---- decide action per instance -------------------------------- #
         want_stop = (optimal | unbounded) & live
