@@ -48,5 +48,19 @@ def load_simplex_host() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_double),               # z_out
                 ctypes.POINTER(ctypes.c_long),                 # iters_out
             ]
+            lib.simplex_solve_dense_ub.restype = ctypes.c_int
+            lib.simplex_solve_dense_ub.argtypes = [
+                ctypes.c_int, ctypes.c_int,                    # m, n
+                ctypes.POINTER(ctypes.c_double),               # A
+                ctypes.POINTER(ctypes.c_double),               # b
+                ctypes.POINTER(ctypes.c_double),               # c
+                ctypes.POINTER(ctypes.c_int8),                 # ops
+                ctypes.POINTER(ctypes.c_double),               # ub (or NULL)
+                ctypes.c_int,                                  # maximize
+                ctypes.c_double, ctypes.c_long,                # tol, max_iters
+                ctypes.POINTER(ctypes.c_double),               # x_out
+                ctypes.POINTER(ctypes.c_double),               # z_out
+                ctypes.POINTER(ctypes.c_long),                 # iters_out
+            ]
             _LIB = lib
     return _LIB
