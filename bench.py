@@ -407,9 +407,13 @@ def bench_sharded(size: int = 10240, iters: int = 64, reps: int = 3,
             jax.device_put(jnp.asarray(row_valid), sh_rows),
         )
 
+        ub_inf = jax.device_put(
+            jnp.full((1, cb.col_mask_p1.shape[1]), jnp.inf, jnp.float32),
+            sh_rep)
+
         def one():
             out = solve_tableau_sharded(
-                *args, mesh=mesh, max_iters=iters,
+                *args, ub_inf, mesh=mesh, max_iters=iters,
                 refactor_every=refactor_every, devex=True)
             return float(jnp.sum(out[2])), int(out[4])
 

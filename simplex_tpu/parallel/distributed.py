@@ -186,8 +186,10 @@ def solve_arrays_distributed(c, A, b, ops, maximize=True,
         put_global(cb.obj_row_p2, sh_rep),
         put_global(cb.need_p1, sh_b),
         put_global(row_valid, sh_rows),
+        put_global(np.full((B_pad, cb.col_mask_p1.shape[1]), np.inf,
+                           np.dtype(dtype)), sh_rep),
     )
-    T_out, basis_out, obj_out, status, iters = solve_tableau_sharded(
+    T_out, basis_out, obj_out, status, iters, _ = solve_tableau_sharded(
         *args, mesh=mesh, tol=tol, max_iters=max_iters,
         bland_after=bland_after, refactor_every=refactor_every, devex=devex,
     )
