@@ -104,12 +104,18 @@ def _ruiz_equilibrate(A, iters: int = 8):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "tol",
-                                             "check_every"))
-def _pdhg_solve(A, b, c, is_eq, max_iters: int = 10000, tol: float = 1e-4,
-                check_every: int = 40):
+                                             "check_every", "bounded"))
+def _pdhg_solve(A, b, c, is_eq, ub=None, max_iters: int = 10000,
+                tol: float = 1e-4, check_every: int = 40,
+                bounded: bool = False):
     """Core batched restarted-averaged PDHG loop (PDLP-style).
 
-    A: (B, m, n); b: (B, m); c: (B, n); is_eq: (B, m) bool.
+    A: (B, m, n); b: (B, m); c: (B, n); is_eq: (B, m) bool;
+    ub: (B, n) with +inf where unbounded (``bounded=True`` activates the
+    box projection ``x ∈ [0, ub]`` — the prox step clips to the box, the
+    dual residual splits per bound status, and the duality gap adds the
+    finite-ub multiplier terms; round 4, completing native bounds on the
+    first-order path).
 
     Accelerations over vanilla Chambolle-Pock (each batched, per instance):
     * Ruiz diagonal preconditioning of A (b, c rescaled accordingly;
@@ -129,6 +135,12 @@ def _pdhg_solve(A, b, c, is_eq, max_iters: int = 10000, tol: float = 1e-4,
     A_s, d_r, d_c = _ruiz_equilibrate(A)
     b_s = b * d_r
     c_s = c * d_c
+    if bounded:
+        ub_s = ub / d_c              # scaled-space box (inf stays inf)
+    else:
+        ub = jnp.full((B, n), jnp.inf, dt)
+        ub_s = ub
+    ub_fin = jnp.isfinite(ub)
 
     sig_max = _power_iter_sigma_max(A_s)
     base = jnp.asarray(0.9, dt) / jnp.maximum(sig_max, 1e-12)   # (B,)
@@ -163,9 +175,27 @@ def _pdhg_solve(A, b, c, is_eq, max_iters: int = 10000, tol: float = 1e-4,
         viol = jnp.where(is_eq, jnp.abs(r_p), jnp.maximum(r_p, 0.0))
         primal = jnp.max(viol, axis=1)
         g = c + jnp.einsum("bmn,bm->bn", A, y)
-        dual = jnp.max(jnp.maximum(-g, 0.0), axis=1)
-        gap = jnp.abs(jnp.einsum("bn,bn->b", c, x)
-                      + jnp.einsum("bm,bm->b", b, y))
+        if bounded:
+            # Dual feasibility per bound status: g >= 0 at the lower
+            # bound, g <= 0 at the upper, g = 0 strictly inside.
+            xs = 1e-6 * (1.0 + jnp.where(ub_fin, ub, 0.0))
+            at_lo = x <= xs
+            at_hi = ub_fin & (x >= ub - xs)
+            dviol = jnp.where(at_lo, jnp.maximum(-g, 0.0),
+                              jnp.where(at_hi, jnp.maximum(g, 0.0),
+                                        jnp.abs(g)))
+            dual = jnp.max(dviol, axis=1)
+            # Duality gap with the finite-ub multiplier terms:
+            # D(y) = -b'y - Σ_fin u_j max(-g_j, 0).
+            lam_u = jnp.where(ub_fin, jnp.maximum(-g, 0.0), 0.0)
+            gap = jnp.abs(jnp.einsum("bn,bn->b", c, x)
+                          + jnp.einsum("bm,bm->b", b, y)
+                          + jnp.einsum("bn,bn->b",
+                                       jnp.where(ub_fin, ub, 0.0), lam_u))
+        else:
+            dual = jnp.max(jnp.maximum(-g, 0.0), axis=1)
+            gap = jnp.abs(jnp.einsum("bn,bn->b", c, x)
+                          + jnp.einsum("bm,bm->b", b, y))
         return primal, dual, gap
 
     def kkt(x_s, y_s):
@@ -178,7 +208,11 @@ def _pdhg_solve(A, b, c, is_eq, max_iters: int = 10000, tol: float = 1e-4,
     def body(state):
         x, y, xsum, ysum, navg, err_last, k, done = state
         grad_x = c_s + jnp.einsum("bmn,bm->bn", A_s, y)
-        x_new = jnp.maximum(x - tau * grad_x, 0.0)
+        if bounded:
+            x_new = jnp.clip(x - tau * grad_x, 0.0,
+                             jnp.where(ub_fin, ub_s, jnp.inf))
+        else:
+            x_new = jnp.maximum(x - tau * grad_x, 0.0)
         x_bar = 2.0 * x_new - x
         y_new = y + sigma * (jnp.einsum("bmn,bn->bm", A_s, x_bar) - b_s)
         y_new = jnp.where(is_eq, y_new, jnp.maximum(y_new, 0.0))
@@ -242,7 +276,7 @@ def _pdhg_solve(A, b, c, is_eq, max_iters: int = 10000, tol: float = 1e-4,
 
 def solve_arrays_stream(batches, tol: float = 1e-4, max_iters: int = 20000,
                         dtype=np.float32, maximize=False,
-                        crossover: str = "none", config=None):
+                        crossover: str = "none", config=None, ub=None):
     """Pipelined PDHG sweep over an iterable of ``(c, A, b, ops)`` batches.
 
     The production driver for the 1M-instance regime: JAX dispatch is
@@ -261,13 +295,17 @@ def solve_arrays_stream(batches, tol: float = 1e-4, max_iters: int = 20000,
 
     Yields one :class:`PdhgResult` per input batch, in order.  All batches
     must share (m, n) and the ``ops`` layout so one compiled program
-    serves the whole sweep.
+    serves the whole sweep.  ``ub`` ((n,) shared across batches): native
+    box constraints, applied to the PDHG projection AND to the exact
+    crossover/recovery engines.
     """
     import time as _time
 
     from ..config import DEFAULT_CONFIG
 
     dtype = np.dtype(dtype)
+    bounded = ub is not None and bool(
+        np.any(np.isfinite(np.asarray(ub, np.float64))))
 
     def stage(batch):
         c, A, b, ops = batch
@@ -282,8 +320,12 @@ def solve_arrays_stream(batches, tol: float = 1e-4, max_iters: int = 20000,
         A_n = np.where(flip[:, :, None], -A, A)
         b_n = np.where(flip, -b, b)
         is_eq = np.broadcast_to((ops == OP_EQ)[None, :], (B, m))
+        ub_dev = None
+        if bounded:
+            ub_dev = jnp.asarray(
+                np.broadcast_to(np.asarray(ub, np.float64), (B, n)), dtype)
         dev = (jnp.asarray(A_n, dtype), jnp.asarray(b_n, dtype),
-               jnp.asarray(c_min, dtype), jnp.asarray(is_eq))
+               jnp.asarray(c_min, dtype), jnp.asarray(is_eq), ub_dev)
         return (c, A, b, ops, maxi, c_min), dev
 
     it = iter(batches)
@@ -295,7 +337,8 @@ def solve_arrays_stream(batches, tol: float = 1e-4, max_iters: int = 20000,
     while current is not None:
         (c, A, b, ops, maxi, c_min), dev = current
         t0 = _time.perf_counter()
-        out = _pdhg_solve(*dev, max_iters=max_iters, tol=tol)
+        out = _pdhg_solve(*dev, max_iters=max_iters, tol=tol,
+                          bounded=bounded)
         # Stage the NEXT batch while this solve runs on device.
         try:
             current = stage(next(it))
@@ -326,7 +369,7 @@ def solve_arrays_stream(batches, tol: float = 1e-4, max_iters: int = 20000,
                 idx = list(range(x.shape[0]))
             else:
                 idx = [int(i) for i in np.nonzero(~res.converged)[0]]
-            if len(idx) >= 64:
+            if len(idx) >= 64 or bounded:
                 # Many instances: ONE certified batched device solve
                 # beats a per-instance host crossover loop (each
                 # per-instance reoptimize is its own device dispatch —
@@ -336,7 +379,8 @@ def solve_arrays_stream(batches, tol: float = 1e-4, max_iters: int = 20000,
                 # The warm-start advantage of the guessed basis is
                 # negligible at sweep shapes (~tens of rows).
                 exact = _crossover_via_batched(
-                    c, A, b, ops, maxi, idx, config or DEFAULT_CONFIG)
+                    c, A, b, ops, maxi, idx, config or DEFAULT_CONFIG,
+                    ub=(ub if bounded else None))
             else:
                 from .crossover import crossover_batch
 
@@ -352,7 +396,7 @@ def solve_arrays_stream(batches, tol: float = 1e-4, max_iters: int = 20000,
         yield res
 
 
-def _crossover_via_batched(c, A, b, ops, maxi, idx, config):
+def _crossover_via_batched(c, A, b, ops, maxi, idx, config, ub=None):
     """Exact recovery for MANY selected instances: one batched device
     solve (f64-certified like any batched result) repackaged as
     per-instance :class:`SimplexResult`s — the vectorized alternative to
@@ -368,8 +412,13 @@ def _crossover_via_batched(c, A, b, ops, maxi, idx, config):
     n_real = idx.shape[0]
     pad = (-n_real) % 256
     idx_p = np.concatenate([idx, np.full(pad, idx[-1])]) if pad else idx
+    ub_sub = None
+    if ub is not None:
+        ub_sub = np.broadcast_to(np.asarray(ub, np.float64),
+                                 (A.shape[0], A.shape[2]))[idx_p]
     sub = BatchedSimplexSolver(config).solve_arrays(
-        c[idx_p], A[idx_p], b[idx_p], ops, maximize=maxi[idx_p])
+        c[idx_p], A[idx_p], b[idx_p], ops, maximize=maxi[idx_p],
+        ub=ub_sub)
     out = []
     for k in range(n_real):
         ok = bool(sub.success[k])
@@ -395,7 +444,12 @@ class PdhgSolver:
         self.max_iters = max_iters
         self.dtype = np.dtype(dtype)
 
-    def solve_arrays(self, c, A, b, ops, maximize=False) -> PdhgResult:
+    def solve_arrays(self, c, A, b, ops, maximize=False,
+                     ub=None) -> PdhgResult:
+        """``ub`` ((n,) or (B, n), entries in [0, +inf]): native box
+        constraints ``0 <= x <= ub`` — the PDHG prox step projects onto
+        the box and the KKT criteria use the bounded dual conditions
+        (round 4; lower bounds go through normalize_bounds upstream)."""
         t0 = time.perf_counter()
         A = np.asarray(A, np.float64)
         b = np.asarray(b, np.float64)
@@ -411,10 +465,19 @@ class PdhgSolver:
         b_n = np.where(flip, -b, b)
         is_eq = np.broadcast_to((ops == OP_EQ)[None, :], (B, m))
 
+        bounded = ub is not None and bool(
+            np.any(np.isfinite(np.asarray(ub, np.float64))))
+        ub_dev = None
+        if bounded:
+            ub_b = np.broadcast_to(np.asarray(ub, np.float64), (B, n))
+            if np.any(ub_b < 0):
+                raise ValueError("ub debe cumplir ub >= 0.")
+            ub_dev = jnp.asarray(ub_b, self.dtype)
         x, y, primal, dual, gap, done, iters = _pdhg_solve(
             jnp.asarray(A_n, self.dtype), jnp.asarray(b_n, self.dtype),
             jnp.asarray(c_min, self.dtype), jnp.asarray(is_eq),
-            max_iters=self.max_iters, tol=self.tol,
+            ub_dev,
+            max_iters=self.max_iters, tol=self.tol, bounded=bounded,
         )
         x = np.asarray(x, np.float64)
         obj_min = np.einsum("bn,bn->b", c_min, x)

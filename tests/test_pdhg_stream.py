@@ -86,6 +86,32 @@ def test_crossover_warm_start_uses_fewer_pivots():
     assert wins * 2 >= total, f"crossover won {wins}/{total}"
 
 
+def test_pdhg_box_bounds_stream_with_recovery():
+    """Round 4: PDHG projects onto the native box 0 <= x <= ub and the
+    streaming driver's exact recovery runs through the BOUNDED batched
+    engine — end-to-end parity vs scipy with bounds."""
+    rng = np.random.default_rng(8)
+    B, m, n = 48, 10, 8
+    A = rng.uniform(0.1, 1.0, (B, m, n))
+    x0 = rng.uniform(0.2, 1.5, (B, n))
+    b = np.einsum("bmn,bn->bm", A, x0) + rng.uniform(0.1, 0.5, (B, m))
+    c = rng.uniform(0.1, 1.0, (B, n))
+    ub = np.where(rng.random(n) < 0.7,
+                  rng.uniform(0.5, 1.8, size=n), np.inf)
+    out = list(solve_arrays_stream(
+        iter([(c, A, b, np.full(m, -1))]), tol=1e-5, max_iters=40000,
+        maximize=True, crossover="unconverged", ub=ub))
+    res = out[0]
+    assert np.all(res.converged)
+    bounds = [(0.0, None if np.isinf(u) else u) for u in ub]
+    for i in range(0, B, 5):
+        ref = linprog(-c[i], A_ub=A[i], b_ub=b[i], bounds=bounds,
+                      method="highs")
+        assert res.objective[i] == pytest.approx(
+            -ref.fun, rel=2e-4, abs=2e-4), i
+        assert np.all(res.x[i] <= ub + 1e-4)
+
+
 def test_pdhg_well_scaled_convergence_fraction():
     """Round-4 regression pin: the r3 ω-rebalancing silently HALVED
     convergence on the well-scaled sweep family (1022/2048 at 1e-4/10k
