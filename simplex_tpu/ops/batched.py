@@ -589,7 +589,7 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
 
     def body(state):
         (T, basis, at_upper, phase, status, iters, since_ref, pivots,
-         best_obj, no_imp, w) = state
+         best_obj, no_imp, w, ub_B, is_art_row) = state
         live = status == RUNNING
         in_p1 = phase == 1
         col_mask = jnp.where(in_p1[:, None], col_mask_p1, col_mask_p2)
@@ -630,8 +630,10 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
         d = _gather_col(T, s)[:, :-1]                             # (B, m)
         dd = sigma[:, None] * d
         xB = T[:, :-1, -1]
-        ub_B = jnp.take_along_axis(ub, basis, axis=1)             # (B, m)
-        is_art_row = jnp.take_along_axis(art_mask_ext, basis, axis=1)
+        # ub_B / is_art_row are CARRIED state (updated at the pivot row,
+        # refreshed on phase flips): the per-iteration lane-axis
+        # take_along_axis gathers they replace were a visible slice of
+        # the bounded kernel's 2x cost over the classic one (round 4).
         pos = dd > tol
         neg = (dd < -tol) & jnp.isfinite(ub_B)
         art_exit = (~in_p1)[:, None] & is_art_row & (jnp.abs(dd) > tol)
@@ -684,9 +686,15 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
         to_p2 = p1_done & ~infeasible
 
         def flip_phase(args):
-            T, basis, phase = args
+            T, basis, phase, ub_B, is_art_row = args
             T_ev, basis_ev = _evict_artificials_bounded_b(
                 T, basis, at_upper, art_mask_ext, col_mask_p2, tol)
+            # Eviction re-bases rows: refresh the carried per-row state
+            # (runs only on flip iterations — once or twice per solve).
+            ub_ev = jnp.take_along_axis(ub, basis_ev, axis=1)
+            art_ev = jnp.take_along_axis(art_mask_ext, basis_ev, axis=1)
+            ub_B = jnp.where(to_p2[:, None], ub_ev, ub_B)
+            is_art_row = jnp.where(to_p2[:, None], art_ev, is_art_row)
             T_p2 = _price_out_b(T_ev, basis_ev, obj_row_p2)
             # Objective cell must include the at-upper contributions the
             # generic price-out cannot know about.
@@ -698,10 +706,11 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
             T = jnp.where(to_p2[:, None, None], T_p2, T)
             basis = jnp.where(to_p2[:, None], basis_ev, basis)
             phase = jnp.where(to_p2, jnp.int32(2), phase)
-            return T, basis, phase
+            return T, basis, phase, ub_B, is_art_row
 
-        T, basis, phase = lax.cond(
-            jnp.any(to_p2), flip_phase, lambda a: a, (T, basis, phase)
+        T, basis, phase, ub_B, is_art_row = lax.cond(
+            jnp.any(to_p2), flip_phase, lambda a: a,
+            (T, basis, phase, ub_B, is_art_row)
         )
 
         # --- Terminal statuses ------------------------------------------ #
@@ -737,7 +746,12 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
         T_upd, basis_upd = _pivot_update_b(T, basis, r, s, do_pivot)
         # Overwrite the RHS column / objective cell with the bounded-
         # semantics values (the rank-1 RHS formula assumes leave-at-zero).
-        ub_B_new = jnp.take_along_axis(ub, basis_upd, axis=1)
+        is_art_s = jnp.take_along_axis(
+            art_mask_ext, s[:, None], axis=1)[:, 0]
+        upd_row = do_pivot[:, None] & row_hot
+        ub_B_new = jnp.where(upd_row, ub_s[:, None], ub_B)
+        is_art_row = jnp.where(upd_row, is_art_s[:, None], is_art_row)
+        ub_B = ub_B_new
         xB_piv = jnp.clip(xB_piv, 0.0, ub_B_new)
         # Fallback = the CURRENT (possibly phase-flipped) state, not the
         # pre-flip xB/z snapshot — do_pivot/do_flip are disjoint from
@@ -776,7 +790,7 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
 
         since_ref = jnp.where(do_refactor, jnp.int32(1), since_ref + 1)
         return (T, basis, at_upper, phase, status, iters + 1, since_ref,
-                pivots, best_obj, no_imp, w)
+                pivots, best_obj, no_imp, w, ub_B, is_art_row)
 
     state0 = (
         T0, basis0, jnp.zeros((Bsz, N), bool), phase0,
@@ -786,9 +800,11 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
         jnp.full((Bsz,), jnp.inf, T0.dtype),
         jnp.zeros((Bsz,), jnp.int32),
         jnp.ones((Bsz, N), T0.dtype),
+        jnp.take_along_axis(ub, basis0, axis=1),
+        jnp.take_along_axis(art_mask_ext, basis0, axis=1),
     )
-    (T, basis, at_upper, phase, status, iters, _, pivots, _, _, _) = \
-        lax.while_loop(cond, body, state0)
+    (T, basis, at_upper, phase, status, iters, _, pivots, _, _, _, _,
+     _) = lax.while_loop(cond, body, state0)
 
     raw_obj = jnp.where((phase == 1)[:, None], obj_row_p1, obj_row_p2)
     T = _refine_solution_bounded_b(T, basis, basis0, T0_rows, raw_obj,
