@@ -238,6 +238,17 @@ def test_adversarial_corpus_dense(seed):
     _check_against_oracle(lp, res.status, res.fun, res.x, seed, "dense")
 
 
+@pytest.mark.parametrize("seed", [0, 1, 3, 6, 9, 17, 23, 43])
+def test_adversarial_corpus_host_cpp(seed):
+    """C++ host engine subset of the corpus (native bounds + Devex +
+    Harris/step-clamp — the round-4 robustness kit in the native path)."""
+    from simplex_tpu.models.host import HostSimplexSolver
+
+    lp = parse_mps(generate_netlib_adversarial(seed))
+    res = HostSimplexSolver().solve(lp)
+    _check_against_oracle(lp, res.status, res.fun, res.x, seed, "host")
+
+
 def test_adversarial_corpus_sweep():
     """Sweep path over a corpus subset: solve_lp_sweep buckets + batched
     native-bounds kernel + certification must reach the same verdicts."""
