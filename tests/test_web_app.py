@@ -101,6 +101,24 @@ def test_download_and_reload_problem_json(client):
     assert "36.0000" in r.text
 
 
+def test_load_bounded_problem_solves_through_web(client):
+    """Round 4: a JSON upload carrying a ``bounds`` section (the extended
+    schema the reference cannot express) solves through /load → /solve
+    with the native bounded engine — optimum at BOTH upper bounds."""
+    doc = {"problema_definicion": {
+        "funcion_objetivo": {"type": "maximize",
+                             "coefficients": {"x1": 1.0, "x2": 0.1}},
+        "restricciones": [{"coefficients": {"x1": 1.0, "x2": 1.0},
+                           "operator": "<=", "rhs": 10.0}],
+        "bounds": {"lb": {}, "ub": {"x1": 2.0, "x2": 3.0}},
+    }}
+    r = client.post("/load",
+                    files={"problem_file": ("p.json", json.dumps(doc))})
+    assert "Vista previa" in r.text
+    r = client.post("/solve")
+    assert "2.3000" in r.text          # Z = 1*2 + 0.1*3 at the bounds
+
+
 def test_load_rejects_garbage(client):
     r = client.post("/load", files={"problem_file": ("x.json", "{oops")},
                     follow_redirects=True)
