@@ -191,6 +191,14 @@ def bench_pivot_update(size: int, iters: int, reps: int = 5,
         except Exception as e:  # never let the sub-bench kill the artifact
             sys.stderr.write(f"batched sub-bench failed: {e}\n")
             detail["batched_lps_per_sec"] = None
+        try:
+            vb = bench_bounded_batched(reps=max(3, reps - 2))
+            detail["bounded_lps_per_sec"] = vb["value"]
+            detail["bounded_n_optimal"] = vb["detail"]["n_optimal"]
+            detail["bounded_spread"] = vb["detail"]["spread"]
+        except Exception as e:
+            sys.stderr.write(f"bounded sub-bench failed: {e}\n")
+            detail["bounded_lps_per_sec"] = None
     return {
         "metric": f"pivots_per_sec_{size}x{size}_f32",
         "value": round(1.0 / dt, 3),
@@ -338,6 +346,50 @@ def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50,
                    "pivot_iters": res.nit,
                    "mean_pivots": (None if res.pivots is None
                                    else round(float(np.mean(res.pivots)), 2))},
+    }
+
+
+def bench_bounded_batched(B: int = 1024, m: int = 30, n: int = 50,
+                          reps: int = 3):
+    """Batched NATIVE-bounds kernel (round 4): LPs/s with ~60% of the
+    variables finitely bounded — the per-round regression guard for
+    ``ops/batched.solve_tableau_batch_bounded`` on real hardware."""
+    import jax
+    import jax.numpy as jnp
+    from simplex_tpu.models.batched import compile_batch_on_device
+    from simplex_tpu.ops import batched as batched_ops
+
+    rng = np.random.default_rng(0)
+    A = rng.uniform(0.05, 1.0, size=(B, m, n)).astype(np.float32)
+    b = rng.uniform(1.0, 5.0, size=(B, m)).astype(np.float32)
+    c = rng.uniform(0.1, 1.0, size=(B, n)).astype(np.float32)
+    ops = np.full((m,), -1)
+    ub = np.where(rng.random((B, n)) < 0.6,
+                  rng.uniform(1.0, 3.0, (B, n)), np.inf).astype(np.float32)
+    cb = compile_batch_on_device(c, A, b, ops, True, ub=ub)
+    args = [jnp.asarray(x) for x in
+            (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
+             cb.obj_row_p1, cb.obj_row_p2, cb.need_p1, cb.ub_ext)]
+    jax.block_until_ready(args)
+
+    def one():
+        out = batched_ops.solve_tableau_batch_bounded(*args)
+        return out
+
+    out = one()
+    float(jnp.sum(out[0]))
+    def timed():
+        o = one()
+        return float(jnp.sum(o[0]))
+    dt, spread = _median_time(timed, reps)
+    n_opt = int(np.sum(np.asarray(out[3]) == 0))
+    return {
+        "metric": f"bounded_batched_lps_per_sec_{B}x{m}x{n}",
+        "value": round(B / dt, 1),
+        "unit": "LPs/s/chip",
+        "vs_baseline": round(n_opt / B, 4),
+        "detail": {"device_solve_s": round(dt, 3), "n_reps": reps,
+                   "spread": round(spread, 4), "n_optimal": n_opt},
     }
 
 
