@@ -146,22 +146,26 @@ def _pdhg_solve(A, b, c, is_eq, ub=None, max_iters: int = 10000,
     base = jnp.asarray(0.9, dt) / jnp.maximum(sig_max, 1e-12)   # (B,)
 
     # PDLP primal weight ω (per instance): τ = η/ω, σ = η·ω with
-    # η = 0.9/σ_max, so τσ‖A‖² < 1 holds for any ω.  Initialization
-    # ω⁰ = sqrt(‖c‖/‖b‖) — the square root PULLS the weight toward the
-    # balanced ω = 1 while still correcting skewed scales.  Chosen over
-    # the r3 scheme (raw ‖c‖/‖b‖ + per-restart ‖Δy‖/‖Δx‖ rebalancing)
-    # empirically: on the well-scaled uniform sweep family the r3
-    # rebalancing RANDOM-WALKED ω off the balance point and halved
-    # convergence (1022/2048 at 1e-4/10k iters vs r2's 2035/2048 — a
-    # regression no test pinned; round 4 measurement).  Variants measured
-    # on (uniform 2048 @ tol 1e-4, skewed-b×300 32 @ 1e-5):
-    #   ω=1 fixed (r2)              2035/2048   0/32
-    #   ω⁰=‖c‖/‖b‖ + rebal (r3)     1022/2048  25/32
-    #   ω⁰=‖c‖/‖b‖, no rebal        1898/2048  28/32
-    #   ω⁰=sqrt(‖c‖/‖b‖), no rebal  2013/2048  26/32   ← shipped
+    # η = 0.9/σ_max, so τσ‖A‖² < 1 holds for any ω.  Initialization is
+    # HYBRID: ω⁰ = 1 for mildly-imbalanced instances (‖c‖/‖b‖ ∈
+    # [0.1, 10] — the balanced weight wins there) and sqrt(‖c‖/‖b‖) for
+    # genuinely skewed ones (the square root pulls toward 1 while
+    # correcting the scale).  Chosen over the r3 scheme (raw ‖c‖/‖b‖ +
+    # per-restart ‖Δy‖/‖Δx‖ rebalancing) empirically: on the well-scaled
+    # uniform sweep family the r3 rebalancing RANDOM-WALKED ω off the
+    # balance point and halved convergence (1022/2048 at 1e-4/10k iters
+    # vs r2's 2035/2048 — a regression no test pinned; round 4).
+    # Variants measured on (uniform 2048 @ 1e-4, skewed-b×300 32 @ 1e-5,
+    # skewed-b×20 32 @ 1e-5):
+    #   ω=1 fixed (r2)              2035/2048   0/32    –
+    #   ω⁰=‖c‖/‖b‖ + rebal (r3)     1022/2048  25/32    –
+    #   ω⁰=‖c‖/‖b‖, no rebal        1898/2048  28/32    –
+    #   ω⁰=sqrt(‖c‖/‖b‖), no rebal  2013/2048  26/32  30/32
+    #   HYBRID, no rebal (shipped)  2035/2048  26/32  30/32
     w0 = (1e-12 + jnp.linalg.norm(c_s, axis=1)) \
         / (1e-12 + jnp.linalg.norm(b_s, axis=1))
-    omega0 = jnp.clip(jnp.sqrt(w0), 1e-4, 1e4)
+    mild = (w0 >= 0.1) & (w0 <= 10.0)
+    omega0 = jnp.where(mild, 1.0, jnp.clip(jnp.sqrt(w0), 1e-4, 1e4))
 
     scale = 1.0 + jnp.maximum(
         jnp.max(jnp.abs(b), axis=1), jnp.max(jnp.abs(c), axis=1))
