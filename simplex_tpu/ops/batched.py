@@ -254,14 +254,14 @@ def _refactor_b(T, basis, T0_rows, raw_obj, active):
 @functools.partial(
     jax.jit,
     static_argnames=("tol", "max_iters", "bland_after", "feas_tol",
-                     "refactor_every", "backend", "devex"),
+                     "refactor_every", "backend", "devex", "phase2_only"),
 )
 def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
                         obj_row_p1, obj_row_p2, need_p1,
                         tol: float = 1e-6, max_iters: int = 4096,
                         bland_after: int = 1024, feas_tol: float = 1e-5,
                         refactor_every: int = 64, backend: str = "auto",
-                        devex: bool = False):
+                        devex: bool = False, phase2_only: bool = False):
     """Solve a batch of LPs sharing one padded tableau shape.
 
     Args:
@@ -290,6 +290,16 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
     weights (the 4x+ pivot-count reduction the single-chip kernels measure
     on large LPs, VERDICT r1 weak #2), threaded through both backends the
     same way the per-instance Bland flags are.
+
+    ``phase2_only`` (STATIC; caller asserts every instance starts in
+    phase 2, i.e. ``need_p1`` is all-False — true for every all-<= sweep
+    after sign normalization): runs a fast two-level loop with NO
+    per-iteration ``lax.cond``.  The identity branches of the refactor and
+    phase-flip conds force XLA to copy the whole tableau every iteration
+    (~3.5 ms/iter of pure copy at B=16k x 30x50 on v5e, round-5 probe —
+    the same pathology as the sharded kernel's round-4 resync cond);
+    chunking the refactor to the boundary of an inner while_loop removes
+    both copies.
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -323,6 +333,82 @@ def solve_tableau_batch(T0, basis0, col_mask_p1, col_mask_p2,
         zero_lane = jnp.zeros((Bsz, 1), T0.dtype)
         cm1f = jnp.concatenate([col_mask_p1.astype(T0.dtype), zero_lane], 1)
         cm2f = jnp.concatenate([col_mask_p2.astype(T0.dtype), zero_lane], 1)
+
+    if phase2_only:
+        # -------- FAST PATH: no per-iteration lax.cond (see docstring) -- #
+        phase2 = jnp.full((Bsz,), 2, jnp.int32)
+
+        def istep(state):
+            (T, basis, status, iters, chunk, pivots, best_obj, no_imp,
+             w) = state
+            live = status == RUNNING
+            use_bland = no_imp >= bland_after
+            if use_pallas:
+                T, basis, w, s, r, optimal, unbounded, active = (
+                    pallas_batched.fused_pivot_step(
+                        T, basis, cm2f, cm2f, phase2, status,
+                        use_bland.astype(jnp.int32), w, tol=tol,
+                        devex=devex,
+                        interpret=(backend == "pallas_interpret")))
+            else:
+                s, r, optimal, unbounded = _select_pivot_b(
+                    T, basis, col_mask_p2, tol, use_bland,
+                    weights=w if devex else None)
+                active = live & ~optimal & ~unbounded
+                if devex:
+                    w = _devex_update_b(w, T, basis, r, s, active)
+                T, basis = _pivot_update_b(T, basis, r, s, active,
+                                           clamp_rhs=True)
+            want_stop = (optimal | unbounded) & live
+            status = jnp.where(
+                want_stop & optimal, STATUS_OPTIMAL,
+                jnp.where(want_stop & unbounded, STATUS_UNBOUNDED, status))
+            pivots = pivots + active.astype(pivots.dtype)
+            obj_b = -T[:, -1, -1]
+            improved = obj_b < best_obj - tol * (1.0 + jnp.abs(best_obj))
+            best_obj = jnp.minimum(best_obj, obj_b)
+            no_imp = jnp.where(improved, 0,
+                               no_imp + active.astype(no_imp.dtype))
+            return (T, basis, status, iters + 1, chunk + 1, pivots,
+                    best_obj, no_imp, w)
+
+        def icond(state):
+            status, iters, chunk = state[2], state[3], state[4]
+            return (jnp.any(status == RUNNING) & (iters < max_iters)
+                    & (chunk < refactor_every))
+
+        def ocond(state):
+            status, iters = state[2], state[3]
+            return jnp.any(status == RUNNING) & (iters < max_iters)
+
+        def obody(state):
+            state = lax.while_loop(
+                icond, istep, state[:4] + (jnp.int32(0),) + state[5:])
+            (T, basis, status, iters, chunk, pivots, best_obj, no_imp,
+             w) = state
+            # Periodic drift refactor at the CHUNK boundary — the cond's
+            # copy now costs once per refactor_every iterations.
+            cont = jnp.any(status == RUNNING) & (iters < max_iters)
+            T = lax.cond(
+                cont,
+                lambda T: _refactor_b(T, basis, T0_rows, obj_row_p2,
+                                      status == RUNNING),
+                lambda T: T, T)
+            return (T, basis, status, iters, chunk, pivots, best_obj,
+                    no_imp, w)
+
+        state0 = (T0, basis0, jnp.full((Bsz,), RUNNING, jnp.int32),
+                  jnp.int32(0), jnp.int32(0),
+                  jnp.zeros((Bsz,), jnp.int32),
+                  jnp.full((Bsz,), jnp.inf, T0.dtype),
+                  jnp.zeros((Bsz,), jnp.int32),
+                  jnp.ones((Bsz, T0.shape[2] - 1), T0.dtype))
+        T, basis, status, iters, _, pivots, _, _, _ = lax.while_loop(
+            ocond, obody, state0)
+        T = _refine_solution_b(T, basis, basis0, T0_rows, obj_row_p2)
+        status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT,
+                           status)
+        return T, basis, status, iters, pivots
 
     def cond(state):
         status, iters = state[3], state[4]
@@ -532,7 +618,7 @@ def _refactor_bounded_b(T, basis, at_upper, ub, T0_rows, raw_obj, active):
 @functools.partial(
     jax.jit,
     static_argnames=("tol", "max_iters", "bland_after", "feas_tol",
-                     "refactor_every", "devex"),
+                     "refactor_every", "backend", "devex", "phase2_only"),
 )
 def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
                                 obj_row_p1, obj_row_p2, need_p1, ub,
@@ -540,7 +626,9 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
                                 bland_after: int = 1024,
                                 feas_tol: float = 1e-5,
                                 refactor_every: int = 64,
-                                devex: bool = False):
+                                backend: str = "auto",
+                                devex: bool = False,
+                                phase2_only: bool = False):
     """Batched tableau simplex with NATIVE upper bounds ``0 <= x <= ub``.
 
     The general bounded ratio test of the revised engine
@@ -569,8 +657,27 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
     must be masked out of ``col_mask_*`` by the compiler — a zero-span
     variable would flip forever.
 
+    ``backend`` mirrors :func:`solve_tableau_batch`: ``"pallas"`` runs the
+    fused bounded step (``pallas_batched.fused_pivot_step_bounded`` — one
+    HBM read + write of the tableau per iteration), ``"xla"`` the unfused
+    formulation, ``"auto"`` picks pallas on TPU.  ``phase2_only`` (static,
+    caller asserts need_p1 all-False) removes the per-iteration lax.conds
+    exactly as in :func:`solve_tableau_batch`.
+
     Returns ``(T, basis, at_upper, status, iters, pivots)``.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from . import pallas_batched as _pb
+
+        bb = _pb._pick_block_b_bounded(T0.shape[0], T0.shape[1], T0.shape[2])
+        if bb % 8 != 0 and bb != T0.shape[0]:
+            backend = "xla"
+    use_pallas = backend in ("pallas", "pallas_interpret")
+    if use_pallas:
+        from . import pallas_batched
+
     Bsz = T0.shape[0]
     N = T0.shape[2] - 1
     b_scale = 1.0 + jnp.max(jnp.abs(T0[:, :-1, -1]), axis=1)
@@ -582,6 +689,200 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
     ub_safe = jnp.where(jnp.isfinite(ub), ub, 0.0)
     col_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     _ART = jnp.asarray(1e30, T0.dtype)
+
+    if use_pallas:
+        zero_lane = jnp.zeros((Bsz, 1), T0.dtype)
+        cm1f = jnp.concatenate([col_mask_p1.astype(T0.dtype), zero_lane], 1)
+        cm2f = jnp.concatenate([col_mask_p2.astype(T0.dtype), zero_lane], 1)
+        art_f = art_mask_ext.astype(T0.dtype)
+        ub_k = jnp.asarray(ub, T0.dtype)
+
+    if phase2_only:
+        # -------- FAST PATH: no per-iteration lax.cond ------------------ #
+        # Same two-level chunked structure as the classic driver's fast
+        # path (see solve_tableau_batch docstring).  phase2_only implies
+        # need_p1 is all-False, hence NO artificial columns exist in the
+        # batch (the compiler only allocates the artificial block when a
+        # row needs one), so the artificial-exit machinery is dead: the
+        # XLA step below drops it, and the fused kernel sees an all-zero
+        # art mask.
+        phase2 = jnp.full((Bsz,), 2, jnp.int32)
+
+        def istep(state):
+            (T, basis, at_upper, status, iters, chunk, pivots, best_obj,
+             no_imp, w, ub_B, is_art_row) = state
+            live = status == RUNNING
+            use_bland = no_imp >= bland_after
+            if use_pallas:
+                (T, basis, at_upper, w, ub_B, is_art_row, s, r, optimal,
+                 unbounded, moving) = pallas_batched.fused_pivot_step_bounded(
+                    T, basis, at_upper, cm2f, cm2f, phase2, status,
+                    use_bland.astype(jnp.int32), w, ub_k, ub_B, is_art_row,
+                    art_f, tol=tol, devex=devex,
+                    interpret=(backend == "pallas_interpret"))
+            else:
+                rc = T[:, -1, :-1]
+                elig_lo = col_mask_p2 & ~at_upper & (rc < -tol)
+                elig_up = col_mask_p2 & at_upper & (rc > tol)
+                eligible = elig_lo | elig_up
+                viol = jnp.where(eligible, jnp.abs(rc), -jnp.inf)
+                if devex:
+                    score = jnp.where(eligible, (viol * viol) / w,
+                                      -jnp.inf)
+                    s_price = jnp.argmax(score, axis=-1)
+                else:
+                    s_price = jnp.argmax(viol, axis=-1)
+                s_bland = jnp.argmax(eligible, axis=-1)
+                s = jnp.where(use_bland, s_bland, s_price)
+                optimal = ~jnp.any(eligible, axis=-1)
+
+                s_from_up = jnp.take_along_axis(
+                    at_upper, s[:, None], axis=1)[:, 0]
+                sigma = jnp.where(s_from_up, -1.0, 1.0).astype(T.dtype)
+                rc_s = jnp.take_along_axis(rc, s[:, None], axis=1)[:, 0]
+                ub_s = jnp.take_along_axis(ub, s[:, None], axis=1)[:, 0]
+                ub_s_safe = jnp.where(jnp.isfinite(ub_s), ub_s, 0.0)
+
+                d = _gather_col(T, s)[:, :-1]
+                dd = sigma[:, None] * d
+                xB = T[:, :-1, -1]
+                pos = dd > tol
+                neg = (dd < -tol) & jnp.isfinite(ub_B)
+                xB_c = jnp.maximum(xB, 0.0)
+                span_c = jnp.maximum(ub_B - xB, 0.0)
+                t_lo = jnp.where(pos, xB_c / jnp.where(pos, dd, 1.0),
+                                 jnp.inf)
+                t_hi = jnp.where(neg, span_c / jnp.where(neg, -dd, 1.0),
+                                 jnp.inf)
+                t_row = jnp.minimum(t_lo, t_hi)
+                cand = pos | neg
+                min_row = jnp.min(t_row, axis=-1)
+                theta = jnp.minimum(min_row, ub_s)
+                unbounded = (~optimal) & jnp.isinf(theta)
+                flip = (~optimal) & (~unbounded) & (ub_s <= min_row)
+                theta_safe = jnp.where(jnp.isfinite(theta), theta, 0.0)
+
+                delta_lo = tol * (1.0 + jnp.abs(xB))
+                delta_hi = tol * (1.0 + jnp.abs(ub_B - xB))
+                t_lo_rel = jnp.where(pos, (xB_c + delta_lo) /
+                                     jnp.where(pos, dd, 1.0), jnp.inf)
+                t_hi_rel = jnp.where(neg, (span_c + delta_hi) /
+                                     jnp.where(neg, -dd, 1.0), jnp.inf)
+                theta_max = jnp.min(jnp.minimum(t_lo_rel, t_hi_rel),
+                                    axis=-1)
+                harris_cand = cand & (t_row <= theta_max[:, None])
+                hval = jnp.where(harris_cand, jnp.abs(dd), -jnp.inf)
+                r_harris = jnp.argmax(hval, axis=-1)
+                eps = jnp.finfo(T.dtype).eps
+                near = cand & (
+                    t_row <= (min_row + 64.0 * eps
+                              * (1.0 + jnp.abs(min_row)))[:, None])
+                tie_key = jnp.where(near, basis, _INT_MAX)
+                r_bland = jnp.argmin(tie_key, axis=-1)
+                r = jnp.where(use_bland, r_bland, r_harris)
+                t_lo_r = jnp.take_along_axis(t_lo, r[:, None],
+                                             axis=1)[:, 0]
+                t_hi_r = jnp.take_along_axis(t_hi, r[:, None],
+                                             axis=1)[:, 0]
+                leave_up = t_hi_r < t_lo_r
+
+                moving = live & ~optimal & ~unbounded
+                do_pivot = moving & ~flip
+                do_flip = moving & flip
+                if devex:
+                    w = _devex_update_b(w, T, basis, r, s, do_pivot)
+
+                z_min_old = -T[:, -1, -1]
+                xB_flip = jnp.clip(xB - dd * ub_s_safe[:, None], 0.0,
+                                   ub_B)
+                z_flip = z_min_old + sigma * rc_s * ub_s_safe
+                s_hot = col_idx == s[:, None]
+                at_upper_flip = jnp.where(s_hot, ~at_upper, at_upper)
+
+                x_enter = jnp.where(s_from_up, ub_s_safe - theta_safe,
+                                    theta_safe)
+                xB_piv = xB - dd * theta_safe[:, None]
+                row_hot = jax.nn.one_hot(r, T.shape[1] - 1, dtype=bool,
+                                         axis=-1)
+                xB_piv = jnp.where(row_hot, x_enter[:, None], xB_piv)
+                z_piv = z_min_old + sigma * rc_s * theta_safe
+                j_out = jnp.take_along_axis(basis, r[:, None],
+                                            axis=1)[:, 0]
+                T_upd, basis_upd = _pivot_update_b(T, basis, r, s,
+                                                   do_pivot)
+                upd_row = do_pivot[:, None] & row_hot
+                ub_B = jnp.where(upd_row, ub_s[:, None], ub_B)
+                xB_piv = jnp.clip(xB_piv, 0.0, ub_B)
+                rhs_new = jnp.where(
+                    do_pivot[:, None], xB_piv,
+                    jnp.where(do_flip[:, None], xB_flip, xB))
+                T_upd = T_upd.at[:, :-1, -1].set(rhs_new)
+                z_new = jnp.where(do_pivot, z_piv,
+                                  jnp.where(do_flip, z_flip, z_min_old))
+                T_upd = T_upd.at[:, -1, -1].set(-z_new)
+                jout_hot = col_idx == j_out[:, None]
+                at_up_piv = jnp.where(jout_hot, leave_up[:, None],
+                                      at_upper)
+                at_up_piv = jnp.where(s_hot, False, at_up_piv)
+                at_upper = jnp.where(
+                    do_pivot[:, None], at_up_piv,
+                    jnp.where(do_flip[:, None], at_upper_flip, at_upper))
+                T = T_upd
+                basis = basis_upd
+
+            want_stop = (optimal | unbounded) & live
+            status = jnp.where(
+                want_stop & optimal, STATUS_OPTIMAL,
+                jnp.where(want_stop & unbounded, STATUS_UNBOUNDED, status))
+            pivots = pivots + moving.astype(pivots.dtype)
+            obj_b = -T[:, -1, -1]
+            improved = obj_b < best_obj - tol * (1.0 + jnp.abs(best_obj))
+            best_obj = jnp.minimum(best_obj, obj_b)
+            no_imp = jnp.where(improved, 0,
+                               no_imp + moving.astype(no_imp.dtype))
+            return (T, basis, at_upper, status, iters + 1, chunk + 1,
+                    pivots, best_obj, no_imp, w, ub_B, is_art_row)
+
+        def icond(state):
+            status, iters, chunk = state[3], state[4], state[5]
+            return (jnp.any(status == RUNNING) & (iters < max_iters)
+                    & (chunk < refactor_every))
+
+        def ocond(state):
+            status, iters = state[3], state[4]
+            return jnp.any(status == RUNNING) & (iters < max_iters)
+
+        def obody(state):
+            state = lax.while_loop(
+                icond, istep, state[:5] + (jnp.int32(0),) + state[6:])
+            (T, basis, at_upper, status, iters, chunk, pivots, best_obj,
+             no_imp, w, ub_B, is_art_row) = state
+            cont = jnp.any(status == RUNNING) & (iters < max_iters)
+            T = lax.cond(
+                cont,
+                lambda T: _refactor_bounded_b(T, basis, at_upper, ub,
+                                              T0_rows, obj_row_p2,
+                                              status == RUNNING),
+                lambda T: T, T)
+            return (T, basis, at_upper, status, iters, chunk, pivots,
+                    best_obj, no_imp, w, ub_B, is_art_row)
+
+        state0 = (T0, basis0, jnp.zeros((Bsz, N), bool),
+                  jnp.full((Bsz,), RUNNING, jnp.int32),
+                  jnp.int32(0), jnp.int32(0),
+                  jnp.zeros((Bsz,), jnp.int32),
+                  jnp.full((Bsz,), jnp.inf, T0.dtype),
+                  jnp.zeros((Bsz,), jnp.int32),
+                  jnp.ones((Bsz, N), T0.dtype),
+                  jnp.take_along_axis(ub, basis0, axis=1),
+                  jnp.take_along_axis(art_mask_ext, basis0, axis=1))
+        (T, basis, at_upper, status, iters, _, pivots, _, _, _, _,
+         _) = lax.while_loop(ocond, obody, state0)
+        T = _refine_solution_bounded_b(T, basis, basis0, T0_rows,
+                                       obj_row_p2, at_upper, ub)
+        status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT,
+                           status)
+        return T, basis, at_upper, status, iters, pivots
 
     def cond(state):
         status, iters = state[4], state[5]
@@ -605,77 +906,91 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
             T,
         )
 
-        # ---- pricing: dual-infeasibility magnitude over BOTH bounds ---- #
-        rc = T[:, -1, :-1]
-        elig_lo = col_mask & ~at_upper & (rc < -tol)
-        elig_up = col_mask & at_upper & (rc > tol)
-        eligible = elig_lo | elig_up
-        viol = jnp.where(eligible, jnp.abs(rc), -jnp.inf)
-        if devex:
-            score = jnp.where(eligible, (viol * viol) / w, -jnp.inf)
-            s_price = jnp.argmax(score, axis=-1)
+        if use_pallas:
+            # Fused bounded select+pivot+flip: instances coming back
+            # optimal/unbounded (or not RUNNING) pass through untouched,
+            # so the phase-flip logic below still sees their pre-pivot
+            # tableaus.  ub_B/is_art_row/at_upper/w updates for moving
+            # instances happen inside the kernel.
+            (T, basis, at_upper, w, ub_B, is_art_row, s, r, optimal,
+             unbounded, _did) = pallas_batched.fused_pivot_step_bounded(
+                T, basis, at_upper, cm1f, cm2f, phase, status,
+                use_bland.astype(jnp.int32), w, ub_k, ub_B, is_art_row,
+                art_f, tol=tol, devex=devex,
+                interpret=(backend == "pallas_interpret"))
         else:
-            s_price = jnp.argmax(viol, axis=-1)
-        s_bland = jnp.argmax(eligible, axis=-1)
-        s = jnp.where(use_bland, s_bland, s_price)
-        optimal = ~jnp.any(eligible, axis=-1)
+            # ---- pricing: dual-infeasibility over BOTH bounds --------- #
+            rc = T[:, -1, :-1]
+            elig_lo = col_mask & ~at_upper & (rc < -tol)
+            elig_up = col_mask & at_upper & (rc > tol)
+            eligible = elig_lo | elig_up
+            viol = jnp.where(eligible, jnp.abs(rc), -jnp.inf)
+            if devex:
+                score = jnp.where(eligible, (viol * viol) / w, -jnp.inf)
+                s_price = jnp.argmax(score, axis=-1)
+            else:
+                s_price = jnp.argmax(viol, axis=-1)
+            s_bland = jnp.argmax(eligible, axis=-1)
+            s = jnp.where(use_bland, s_bland, s_price)
+            optimal = ~jnp.any(eligible, axis=-1)
 
-        s_from_up = jnp.take_along_axis(at_upper, s[:, None], axis=1)[:, 0]
-        sigma = jnp.where(s_from_up, -1.0, 1.0).astype(T.dtype)   # (B,)
-        rc_s = jnp.take_along_axis(rc, s[:, None], axis=1)[:, 0]
-        ub_s = jnp.take_along_axis(ub, s[:, None], axis=1)[:, 0]
-        ub_s_safe = jnp.where(jnp.isfinite(ub_s), ub_s, 0.0)
+            s_from_up = jnp.take_along_axis(
+                at_upper, s[:, None], axis=1)[:, 0]
+            sigma = jnp.where(s_from_up, -1.0, 1.0).astype(T.dtype)  # (B,)
+            rc_s = jnp.take_along_axis(rc, s[:, None], axis=1)[:, 0]
+            ub_s = jnp.take_along_axis(ub, s[:, None], axis=1)[:, 0]
+            ub_s_safe = jnp.where(jnp.isfinite(ub_s), ub_s, 0.0)
 
-        # ---- bounded ratio test ---------------------------------------- #
-        d = _gather_col(T, s)[:, :-1]                             # (B, m)
-        dd = sigma[:, None] * d
-        xB = T[:, :-1, -1]
-        # ub_B / is_art_row are CARRIED state (updated at the pivot row,
-        # refreshed on phase flips): the per-iteration lane-axis
-        # take_along_axis gathers they replace were a visible slice of
-        # the bounded kernel's 2x cost over the classic one (round 4).
-        pos = dd > tol
-        neg = (dd < -tol) & jnp.isfinite(ub_B)
-        art_exit = (~in_p1)[:, None] & is_art_row & (jnp.abs(dd) > tol)
-        # Backward-step clamps on BOTH limits (see ops/tableau).
-        xB_c = jnp.maximum(xB, 0.0)
-        span_c = jnp.maximum(ub_B - xB, 0.0)
-        t_lo = jnp.where(pos, xB_c / jnp.where(pos, dd, 1.0), jnp.inf)
-        t_lo = jnp.where(art_exit, 0.0, t_lo)
-        t_hi = jnp.where(neg, span_c / jnp.where(neg, -dd, 1.0),
-                         jnp.inf)
-        t_row = jnp.minimum(t_lo, t_hi)
-        cand = pos | neg | art_exit
-        min_row = jnp.min(t_row, axis=-1)
-        theta = jnp.minimum(min_row, ub_s)
-        unbounded = (~optimal) & jnp.isinf(theta)
-        flip = (~optimal) & (~unbounded) & (ub_s <= min_row)
-        theta_safe = jnp.where(jnp.isfinite(theta), theta, 0.0)
+            # ---- bounded ratio test ----------------------------------- #
+            d = _gather_col(T, s)[:, :-1]                         # (B, m)
+            dd = sigma[:, None] * d
+            xB = T[:, :-1, -1]
+            # ub_B / is_art_row are CARRIED state (updated at the pivot
+            # row, refreshed on phase flips): the per-iteration lane-axis
+            # take_along_axis gathers they replace were a visible slice of
+            # the bounded kernel's 2x cost over the classic one (round 4).
+            pos = dd > tol
+            neg = (dd < -tol) & jnp.isfinite(ub_B)
+            art_exit = (~in_p1)[:, None] & is_art_row & (jnp.abs(dd) > tol)
+            # Backward-step clamps on BOTH limits (see ops/tableau).
+            xB_c = jnp.maximum(xB, 0.0)
+            span_c = jnp.maximum(ub_B - xB, 0.0)
+            t_lo = jnp.where(pos, xB_c / jnp.where(pos, dd, 1.0), jnp.inf)
+            t_lo = jnp.where(art_exit, 0.0, t_lo)
+            t_hi = jnp.where(neg, span_c / jnp.where(neg, -dd, 1.0),
+                             jnp.inf)
+            t_row = jnp.minimum(t_lo, t_hi)
+            cand = pos | neg | art_exit
+            min_row = jnp.min(t_row, axis=-1)
+            theta = jnp.minimum(min_row, ub_s)
+            unbounded = (~optimal) & jnp.isinf(theta)
+            flip = (~optimal) & (~unbounded) & (ub_s <= min_row)
+            theta_safe = jnp.where(jnp.isfinite(theta), theta, 0.0)
 
-        # Harris two-pass over BOTH limits: relax each by the feasibility
-        # tolerance, take the largest |pivot| inside the window.
-        delta_lo = tol * (1.0 + jnp.abs(xB))
-        delta_hi = tol * (1.0 + jnp.abs(ub_B - xB))
-        t_lo_rel = jnp.where(pos, (xB_c + delta_lo) /
-                             jnp.where(pos, dd, 1.0), jnp.inf)
-        t_hi_rel = jnp.where(neg, (span_c + delta_hi) /
-                             jnp.where(neg, -dd, 1.0), jnp.inf)
-        theta_max = jnp.min(jnp.minimum(t_lo_rel, t_hi_rel), axis=-1)
-        harris_cand = (cand & (t_row <= theta_max[:, None])) | art_exit
-        hval = jnp.where(harris_cand,
-                         jnp.abs(dd) + jnp.where(art_exit, _ART, 0.0),
-                         -jnp.inf)
-        r_harris = jnp.argmax(hval, axis=-1)
-        eps = jnp.finfo(T.dtype).eps
-        near = cand & (
-            t_row <= (min_row + 64.0 * eps
-                      * (1.0 + jnp.abs(min_row)))[:, None])
-        tie_key = jnp.where(near, basis, _INT_MAX)
-        r_bland = jnp.argmin(tie_key, axis=-1)
-        r = jnp.where(use_bland, r_bland, r_harris)
-        t_lo_r = jnp.take_along_axis(t_lo, r[:, None], axis=1)[:, 0]
-        t_hi_r = jnp.take_along_axis(t_hi, r[:, None], axis=1)[:, 0]
-        leave_up = t_hi_r < t_lo_r
+            # Harris two-pass over BOTH limits: relax each by the
+            # feasibility tolerance, largest |pivot| inside the window.
+            delta_lo = tol * (1.0 + jnp.abs(xB))
+            delta_hi = tol * (1.0 + jnp.abs(ub_B - xB))
+            t_lo_rel = jnp.where(pos, (xB_c + delta_lo) /
+                                 jnp.where(pos, dd, 1.0), jnp.inf)
+            t_hi_rel = jnp.where(neg, (span_c + delta_hi) /
+                                 jnp.where(neg, -dd, 1.0), jnp.inf)
+            theta_max = jnp.min(jnp.minimum(t_lo_rel, t_hi_rel), axis=-1)
+            harris_cand = (cand & (t_row <= theta_max[:, None])) | art_exit
+            hval = jnp.where(harris_cand,
+                             jnp.abs(dd) + jnp.where(art_exit, _ART, 0.0),
+                             -jnp.inf)
+            r_harris = jnp.argmax(hval, axis=-1)
+            eps = jnp.finfo(T.dtype).eps
+            near = cand & (
+                t_row <= (min_row + 64.0 * eps
+                          * (1.0 + jnp.abs(min_row)))[:, None])
+            tie_key = jnp.where(near, basis, _INT_MAX)
+            r_bland = jnp.argmin(tie_key, axis=-1)
+            r = jnp.where(use_bland, r_bland, r_harris)
+            t_lo_r = jnp.take_along_axis(t_lo, r[:, None], axis=1)[:, 0]
+            t_hi_r = jnp.take_along_axis(t_hi, r[:, None], axis=1)[:, 0]
+            leave_up = t_hi_r < t_lo_r
 
         want_stop = (optimal | unbounded) & live
 
@@ -723,57 +1038,62 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
         )
 
         moving = (status == RUNNING) & ~to_p2 & live & ~optimal & ~unbounded
-        do_pivot = moving & ~flip
-        do_flip = moving & flip
+        if not use_pallas:
+            do_pivot = moving & ~flip
+            do_flip = moving & flip
 
-        if devex:
-            w = _devex_update_b(w, T, basis, r, s, do_pivot)
+            if devex:
+                w = _devex_update_b(w, T, basis, r, s, do_pivot)
 
-        # --- BOUND FLIP: no basis change, O(m) state update ------------- #
-        z_min_old = -T[:, -1, -1]
-        xB_flip = jnp.clip(xB - dd * ub_s_safe[:, None], 0.0, ub_B)
-        z_flip = z_min_old + sigma * rc_s * ub_s_safe
-        s_hot = col_idx == s[:, None]                          # (B, n)
-        at_upper_flip = jnp.where(s_hot, ~at_upper, at_upper)
+            # --- BOUND FLIP: no basis change, O(m) state update --------- #
+            z_min_old = -T[:, -1, -1]
+            xB_flip = jnp.clip(xB - dd * ub_s_safe[:, None], 0.0, ub_B)
+            z_flip = z_min_old + sigma * rc_s * ub_s_safe
+            s_hot = col_idx == s[:, None]                      # (B, n)
+            at_upper_flip = jnp.where(s_hot, ~at_upper, at_upper)
 
-        # --- PIVOT: rank-1 on B^{-1}A + rc; explicit RHS/objective ------ #
-        x_enter = jnp.where(s_from_up, ub_s_safe - theta_safe, theta_safe)
-        xB_piv = xB - dd * theta_safe[:, None]
-        row_hot = jax.nn.one_hot(r, T.shape[1] - 1, dtype=bool, axis=-1)
-        xB_piv = jnp.where(row_hot, x_enter[:, None], xB_piv)
-        z_piv = z_min_old + sigma * rc_s * theta_safe
-        j_out = jnp.take_along_axis(basis, r[:, None], axis=1)[:, 0]
-        T_upd, basis_upd = _pivot_update_b(T, basis, r, s, do_pivot)
-        # Overwrite the RHS column / objective cell with the bounded-
-        # semantics values (the rank-1 RHS formula assumes leave-at-zero).
-        is_art_s = jnp.take_along_axis(
-            art_mask_ext, s[:, None], axis=1)[:, 0]
-        upd_row = do_pivot[:, None] & row_hot
-        ub_B_new = jnp.where(upd_row, ub_s[:, None], ub_B)
-        is_art_row = jnp.where(upd_row, is_art_s[:, None], is_art_row)
-        ub_B = ub_B_new
-        xB_piv = jnp.clip(xB_piv, 0.0, ub_B_new)
-        # Fallback = the CURRENT (possibly phase-flipped) state, not the
-        # pre-flip xB/z snapshot — do_pivot/do_flip are disjoint from
-        # to_p2, so the moving instances' snapshots are still current.
-        cur_rhs = T[:, :-1, -1]
-        cur_z = -T[:, -1, -1]
-        rhs_new = jnp.where(do_pivot[:, None], xB_piv,
-                            jnp.where(do_flip[:, None], xB_flip, cur_rhs))
-        T_upd = T_upd.at[:, :-1, -1].set(rhs_new)
-        z_new = jnp.where(do_pivot, z_piv,
-                          jnp.where(do_flip, z_flip, cur_z))
-        T_upd = T_upd.at[:, -1, -1].set(-z_new)
-        # at-upper bookkeeping: leaving variable exits at its bound;
-        # entering/flipping column toggles.
-        jout_hot = col_idx == j_out[:, None]
-        at_up_piv = jnp.where(jout_hot, leave_up[:, None], at_upper)
-        at_up_piv = jnp.where(s_hot, False, at_up_piv)
-        at_upper = jnp.where(do_pivot[:, None], at_up_piv,
-                             jnp.where(do_flip[:, None], at_upper_flip,
-                                       at_upper))
-        T = T_upd
-        basis = basis_upd
+            # --- PIVOT: rank-1 on B^{-1}A + rc; explicit RHS/objective -- #
+            x_enter = jnp.where(s_from_up, ub_s_safe - theta_safe,
+                                theta_safe)
+            xB_piv = xB - dd * theta_safe[:, None]
+            row_hot = jax.nn.one_hot(r, T.shape[1] - 1, dtype=bool, axis=-1)
+            xB_piv = jnp.where(row_hot, x_enter[:, None], xB_piv)
+            z_piv = z_min_old + sigma * rc_s * theta_safe
+            j_out = jnp.take_along_axis(basis, r[:, None], axis=1)[:, 0]
+            T_upd, basis_upd = _pivot_update_b(T, basis, r, s, do_pivot)
+            # Overwrite the RHS column / objective cell with the bounded-
+            # semantics values (the rank-1 RHS formula assumes
+            # leave-at-zero).
+            is_art_s = jnp.take_along_axis(
+                art_mask_ext, s[:, None], axis=1)[:, 0]
+            upd_row = do_pivot[:, None] & row_hot
+            ub_B_new = jnp.where(upd_row, ub_s[:, None], ub_B)
+            is_art_row = jnp.where(upd_row, is_art_s[:, None], is_art_row)
+            ub_B = ub_B_new
+            xB_piv = jnp.clip(xB_piv, 0.0, ub_B_new)
+            # Fallback = the CURRENT (possibly phase-flipped) state, not
+            # the pre-flip xB/z snapshot — do_pivot/do_flip are disjoint
+            # from to_p2, so the moving instances' snapshots are still
+            # current.
+            cur_rhs = T[:, :-1, -1]
+            cur_z = -T[:, -1, -1]
+            rhs_new = jnp.where(
+                do_pivot[:, None], xB_piv,
+                jnp.where(do_flip[:, None], xB_flip, cur_rhs))
+            T_upd = T_upd.at[:, :-1, -1].set(rhs_new)
+            z_new = jnp.where(do_pivot, z_piv,
+                              jnp.where(do_flip, z_flip, cur_z))
+            T_upd = T_upd.at[:, -1, -1].set(-z_new)
+            # at-upper bookkeeping: leaving variable exits at its bound;
+            # entering/flipping column toggles.
+            jout_hot = col_idx == j_out[:, None]
+            at_up_piv = jnp.where(jout_hot, leave_up[:, None], at_upper)
+            at_up_piv = jnp.where(s_hot, False, at_up_piv)
+            at_upper = jnp.where(do_pivot[:, None], at_up_piv,
+                                 jnp.where(do_flip[:, None], at_upper_flip,
+                                           at_upper))
+            T = T_upd
+            basis = basis_upd
         pivots = pivots + moving.astype(pivots.dtype)
 
         # Objective-progress tracking (min-form objective non-increasing).

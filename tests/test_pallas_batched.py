@@ -103,6 +103,160 @@ def test_devex_reduces_pivots_batched():
     assert np.asarray(out_dv[4]).sum() <= np.asarray(out_dz[4]).sum()
 
 
+def _solve_both_bounded(c, A, b, ops, ub, **kw):
+    cb = compile_batch_uniform(c, A, b, ops, maximize=True, ub=ub)
+    args = [jnp.asarray(x) for x in
+            (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
+             cb.obj_row_p1, cb.obj_row_p2, cb.need_p1, cb.ub_ext)]
+    out_x = bops.solve_tableau_batch_bounded(*args, backend="xla", **kw)
+    out_p = bops.solve_tableau_batch_bounded(
+        *args, backend="pallas_interpret", **kw)
+    return out_x, out_p
+
+
+def _assert_match_bounded(out_x, out_p):
+    names = ["T", "basis", "at_upper", "status", "iters", "pivots"]
+    for name, a, b in zip(names, out_x, out_p):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, atol=1e-4, err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_fused_bounded_step_matches_xla_le_only():
+    c, A, b, ops = _random_batch(10)
+    rng = np.random.default_rng(100)
+    ub = rng.uniform(0.5, 6.0, c.shape)   # tight: flips + at-upper optima
+    out_x, out_p = _solve_both_bounded(c, A, b, ops, ub)
+    _assert_match_bounded(out_x, out_p)
+    assert (np.asarray(out_p[3]) == 0).all()
+    # The bounded machinery must actually engage on this batch.
+    assert np.asarray(out_p[2]).any(), "no at-upper columns exercised"
+
+
+def test_fused_bounded_step_matches_xla_mixed_ops():
+    # >= and = rows force phase 1, artificial-exit rows, and the
+    # bounded eviction path through the kernel.
+    ops = np.array([-1, -1, -1, -1, 1, 1, 0, 0, -1])
+    c, A, b, _ = _random_batch(11, ops=ops)
+    rng = np.random.default_rng(101)
+    ub = rng.uniform(2.0, 30.0, c.shape)
+    out_x, out_p = _solve_both_bounded(c, A, b, ops, ub)
+    _assert_match_bounded(out_x, out_p)
+
+
+def test_fused_bounded_step_matches_xla_bland():
+    c, A, b, ops = _random_batch(12)
+    rng = np.random.default_rng(102)
+    ub = rng.uniform(0.5, 8.0, c.shape)
+    out_x, out_p = _solve_both_bounded(c, A, b, ops, ub, bland_after=0)
+    _assert_match_bounded(out_x, out_p)
+
+
+def test_fused_bounded_step_matches_xla_devex():
+    ops = np.array([-1, -1, -1, -1, 1, 1, 0, 0, -1])
+    c, A, b, _ = _random_batch(13, ops=ops)
+    rng = np.random.default_rng(103)
+    ub = rng.uniform(1.0, 20.0, c.shape)
+    out_x, out_p = _solve_both_bounded(c, A, b, ops, ub, devex=True)
+    _assert_match_bounded(out_x, out_p)
+
+
+def test_fused_bounded_solver_matches_scipy():
+    """End-to-end: bounded pallas_interpret backend vs scipy on the same
+    instances (optimum may sit AT the bounds)."""
+    from scipy.optimize import linprog
+
+    c, A, b, ops = _random_batch(14, B=8)
+    rng = np.random.default_rng(104)
+    ub = rng.uniform(0.5, 5.0, c.shape)
+    res = BatchedSimplexSolver(
+        SolverConfig(batched_backend="pallas_interpret")
+    ).solve_arrays(c, A, b, ops, maximize=True, ub=ub)
+    for i in range(c.shape[0]):
+        ref = linprog(-c[i], A_ub=A[i], b_ub=b[i],
+                      bounds=list(zip(np.zeros_like(ub[i]), ub[i])),
+                      method="highs")
+        assert ref.success and bool(res.success[i])
+        np.testing.assert_allclose(res.z[i], -ref.fun, rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_phase2_only_matches_default_unbounded():
+    """The chunked no-cond fast path (phase2_only=True) must agree with
+    the default driver on all-<= batches (statuses exact, objectives to
+    solver tolerance — the refactor cadence differs by one step)."""
+    c, A, b, ops = _random_batch(20, B=16, m=12, n=18)
+    cb = compile_batch_uniform(c, A, b, ops, maximize=True)
+    args = [jnp.asarray(x) for x in
+            (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
+             cb.obj_row_p1, cb.obj_row_p2, cb.need_p1)]
+    out_d = bops.solve_tableau_batch(*args, backend="xla",
+                                     phase2_only=False)
+    out_f = bops.solve_tableau_batch(*args, backend="xla",
+                                     phase2_only=True)
+    np.testing.assert_array_equal(np.asarray(out_d[2]),
+                                  np.asarray(out_f[2]))
+    zd = np.asarray(out_d[0][:, -1, -1])
+    zf = np.asarray(out_f[0][:, -1, -1])
+    np.testing.assert_allclose(zd, zf, rtol=1e-5, atol=1e-5)
+    # Backend parity stays exact within the fast path.
+    out_p = bops.solve_tableau_batch(*args, backend="pallas_interpret",
+                                     phase2_only=True)
+    _assert_match(out_f, out_p)
+
+
+def test_phase2_only_matches_default_bounded():
+    c, A, b, ops = _random_batch(21, B=12, m=9, n=13)
+    rng = np.random.default_rng(210)
+    ub = rng.uniform(0.5, 6.0, c.shape)
+    cb = compile_batch_uniform(c, A, b, ops, maximize=True, ub=ub)
+    args = [jnp.asarray(x) for x in
+            (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
+             cb.obj_row_p1, cb.obj_row_p2, cb.need_p1, cb.ub_ext)]
+    out_d = bops.solve_tableau_batch_bounded(*args, backend="xla",
+                                             phase2_only=False)
+    out_f = bops.solve_tableau_batch_bounded(*args, backend="xla",
+                                             phase2_only=True)
+    np.testing.assert_array_equal(np.asarray(out_d[3]),
+                                  np.asarray(out_f[3]))
+    np.testing.assert_allclose(np.asarray(out_d[0][:, -1, -1]),
+                               np.asarray(out_f[0][:, -1, -1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_d[2]),
+                                  np.asarray(out_f[2]))  # at_upper
+    out_p = bops.solve_tableau_batch_bounded(
+        *args, backend="pallas_interpret", phase2_only=True)
+    _assert_match_bounded(out_f, out_p)
+
+
+def test_phase2_only_long_run_crosses_refactor_boundary():
+    """A batch needing >refactor_every pivots exercises the chunk
+    boundary refactor of the fast path; verdicts must match scipy."""
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(22)
+    B, m, n = 4, 24, 40
+    A = rng.uniform(0.1, 2.0, (B, m, n))
+    c = rng.uniform(0.5, 3.0, (B, n))
+    b = rng.uniform(5.0, 25.0, (B, m))
+    ops = np.full(m, -1)
+    cb = compile_batch_uniform(c, A, b, ops, maximize=True)
+    args = [jnp.asarray(x) for x in
+            (cb.T0, cb.basis, cb.col_mask_p1, cb.col_mask_p2,
+             cb.obj_row_p1, cb.obj_row_p2, cb.need_p1)]
+    out = bops.solve_tableau_batch(*args, backend="xla",
+                                   phase2_only=True, refactor_every=8)
+    st = np.asarray(out[2])
+    assert (st == 0).all()
+    for i in range(B):
+        ref = linprog(-c[i], A_ub=A[i], b_ub=b[i], method="highs")
+        # -T[-1,-1] is the min-form objective == ref.fun (c negated).
+        np.testing.assert_allclose(-np.asarray(out[0][i, -1, -1]),
+                                   ref.fun, rtol=1e-4)
+
+
 def test_single_lp_fused_pivot_matches_xla():
     """The large-tableau fused pivot kernel (ops/pallas_pivot.py) must
     match ops.tableau.pivot_update exactly (interpreter mode off-TPU)."""
