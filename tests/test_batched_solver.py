@@ -168,6 +168,46 @@ def test_stream_pipeline_matches_single_batches():
         np.testing.assert_allclose(s1.z, s2.z, rtol=1e-6)
 
 
+def test_stream_pipeline_bounded_batches():
+    """Bounded batches (5-tuple with ub) ride the streaming pipeline
+    (VERDICT r4 missing #5): certified results match independent bounded
+    solve_arrays calls, and mixing bounded/unbounded batches works."""
+    from simplex_tpu.models.batched import (
+        BatchedSimplexSolver, solve_arrays_stream,
+    )
+
+    m, n, B = 10, 14, 24
+    ops = np.full((m,), -1)
+
+    def make(seed, with_ub):
+        r = np.random.default_rng(seed)
+        A = r.uniform(0.05, 1.0, size=(B, m, n)).astype(np.float32)
+        b = r.uniform(1.0, 5.0, size=(B, m)).astype(np.float32)
+        c = r.uniform(0.1, 1.0, size=(B, n)).astype(np.float32)
+        if with_ub:
+            ub = r.uniform(0.3, 4.0, size=(B, n))
+            return (c, A, b, ops, ub)
+        return (c, A, b, ops)
+
+    batches = [make(0, True), make(1, False), make(2, True)]
+    solver = BatchedSimplexSolver()
+    singles = [
+        solver.solve_arrays(*bt[:4], maximize=True,
+                            ub=bt[4] if len(bt) > 4 else None)
+        for bt in batches
+    ]
+    streamed = list(solve_arrays_stream(batches, maximize=True))
+    assert len(streamed) == 3
+    for k, (s1, s2) in enumerate(zip(singles, streamed)):
+        np.testing.assert_array_equal(s1.status, s2.status, err_msg=str(k))
+        np.testing.assert_allclose(s1.z, s2.z, rtol=1e-6, err_msg=str(k))
+        assert s2.certified is not None and s2.certified.all()
+        if len(batches[k]) > 4:
+            assert s2.at_upper is not None
+    # The bounded batches must actually exercise at-upper optima.
+    assert streamed[0].at_upper.any() or streamed[2].at_upper.any()
+
+
 def test_heterogeneous_sweep_buckets_and_matches():
     """solve_lp_sweep: mixed-shape LPs bucketed by compiled shape, results
     in original order matching single solves."""
