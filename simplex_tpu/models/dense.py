@@ -942,7 +942,8 @@ def solve_lp(lp: LinearProgram,
 
 
 def reoptimize(lp: LinearProgram, basis: np.ndarray,
-               config: SolverConfig = DEFAULT_CONFIG) -> SimplexResult:
+               config: SolverConfig = DEFAULT_CONFIG,
+               at_upper: Optional[np.ndarray] = None) -> SimplexResult:
     """Dual-simplex reoptimization from a previously-optimal basis.
 
     The warm-start counterpart :func:`solve_lp` ``warm_basis=...`` covers
@@ -952,6 +953,13 @@ def reoptimize(lp: LinearProgram, basis: np.ndarray,
     the dual simplex iterates away.  This is the capability HiGHS's
     ``highs-ds`` brings to the reference, natively.
 
+    BOUNDED LPs reoptimize natively too (VERDICT r4 #4): pass the parent
+    solve's ``(basis, at_upper)`` pair (``SimplexResult.basis`` /
+    ``.at_upper`` from the revised engine or a previous reoptimize) and
+    the bounded dual kernel (``ops.tableau.solve_tableau_dual_bounded``)
+    iterates the two-sided primal infeasibilities away instead of
+    cold-starting.
+
     Falls back to a cold :func:`solve_lp` when the basis is stale (wrong
     shape, singular, artificial columns basic, or not dual-feasible for
     the new costs).
@@ -959,10 +967,11 @@ def reoptimize(lp: LinearProgram, basis: np.ndarray,
     t0 = time.perf_counter()
     dtype = resolve_dtype(config.dtype)
     if lp.has_finite_bounds:
-        # Bound rows change the standard-form shape, so a saved basis from
-        # a differently-bounded parent is stale by construction: lower the
-        # bounds and cold-start (solve_lp handles the sensitivity fold).
-        return solve_lp(lp, config)
+        if at_upper is None:
+            # No at-upper state from the parent: a bounded vertex is not
+            # identified by the basis alone — cold-start.
+            return solve_lp(lp, config)
+        return _reoptimize_bounded(lp, basis, at_upper, config, t0)
     if lp.has_free:
         lp2, fidx = split_free_variables(lp)
         res = reoptimize(lp2, basis, config)
@@ -1059,6 +1068,109 @@ def reoptimize(lp: LinearProgram, basis: np.ndarray,
     )
 
 
+def _reoptimize_bounded(lp: LinearProgram, basis: np.ndarray,
+                        at_upper: np.ndarray, config: SolverConfig,
+                        t0: float) -> SimplexResult:
+    """Warm bounded reoptimization via the bounded dual kernel.
+
+    The parent's ``(basis, at_upper)`` identifies the old bounded vertex
+    in the NORMALIZED padded space (``normalize_bounds`` + bounded
+    ``compile_standard_form`` — the same lowering the revised engine
+    applies, so its results feed straight in).  Gates: basis shape/
+    validity, no artificial basic, and two-sided f64 dual feasibility
+    (at-lower rc >= -tol, at-upper rc <= +tol); any failure cold-starts.
+    The dual verdict is f64-KKT-certified (``_finalize_on_host_bounded``)
+    before being trusted — same safety net as every other engine.
+    """
+    from ..core.problem import normalize_bounds
+
+    dtype = resolve_dtype(config.dtype)
+    lp_t, tr = normalize_bounds(lp)
+    if lp_t.has_free or lp_t.n_cons == 0 or basis is None:
+        return solve_lp(lp, config)
+    basis = np.asarray(basis, dtype=np.int32).reshape(-1)
+    # The parent may come from the revised engine (default pads) or a
+    # previous bounded reoptimize (_pad_plan pads) — accept either layout
+    # (column indices are pad-independent; only m_pad must line up).
+    sf = compile_standard_form(lp_t, dtype=np.float64, bounded=True)
+    if sf.m_pad != basis.shape[0]:
+        row_pad, col_pad = _pad_plan(lp_t)
+        sf = compile_standard_form(lp_t, row_pad=row_pad, col_pad=col_pad,
+                                   dtype=np.float64, bounded=True)
+    m_pad, n_pad = sf.m_pad, sf.n_pad
+    if basis.shape[0] != m_pad or np.any(basis < 0) \
+            or np.any(basis >= n_pad):
+        return solve_lp(lp, config)
+    art_cols = sf.col_mask_p1 & ~sf.col_mask_p2
+    if np.any(art_cols[basis]):
+        return solve_lp(lp, config)
+    ub_ext = (sf.ub_ext if sf.ub_ext is not None
+              else np.full((n_pad,), np.inf))
+    atu = np.zeros((n_pad,), bool)
+    au = np.asarray(at_upper, bool).reshape(-1)[:n_pad]
+    atu[: au.shape[0]] = au
+    atu &= np.isfinite(ub_ext[:n_pad])
+    atu[basis] = False
+
+    tol = float(config.tol if dtype == np.float64
+                else max(config.tol, 1e-6))
+    max_iters = min(config.max_iters, 50 * (m_pad + n_pad))
+
+    # f64 host refactor for the dual-feasibility gate (two-sided signs).
+    rows = sf.tableau[:m_pad].astype(np.float64)
+    try:
+        T_rows = np.linalg.solve(rows[:, basis], rows)
+    except np.linalg.LinAlgError:
+        return solve_lp(lp, config)
+    if not np.all(np.isfinite(T_rows)):
+        return solve_lp(lp, config)
+    obj = sf.obj_row_p2.astype(np.float64).copy()
+    obj -= obj[basis] @ T_rows
+    nonbasic = sf.col_mask_p2.copy()
+    nonbasic[basis] = False
+    lo_side = nonbasic & ~atu
+    up_side = nonbasic & atu
+    if not (np.all(obj[:n_pad][lo_side] >= -10 * tol)
+            and np.all(obj[:n_pad][up_side] <= 10 * tol)):
+        return solve_lp(lp, config)
+
+    # Anchor tableau: RAW rows + raw phase-2 objective; the kernel builds
+    # the effective (at-upper-adjusted) start itself.
+    T_anchor = np.concatenate(
+        [sf.tableau[:m_pad], sf.obj_row_p2[None, :]], axis=0).astype(dtype)
+    T_d, basis_d, atu_d, status, iters = \
+        tableau_ops.solve_tableau_dual_bounded(
+            jnp.asarray(T_anchor), jnp.asarray(basis),
+            jnp.asarray(sf.col_mask_p2), jnp.asarray(ub_ext),
+            jnp.asarray(atu),
+            tol=tol, max_iters=int(max_iters),
+            bland_after=int(min(config.bland_after, max_iters // 2)),
+            devex=config.pivot_rule == "devex",
+        )
+    status = int(status)
+    nit = int(iters)
+    basis_np = np.asarray(basis_d)
+    atu_np = np.asarray(atu_d)
+    if status != STATUS_OPTIMAL:
+        return solve_lp(lp, config)
+    certified, x_full, duals, reduced = _finalize_on_host_bounded(
+        sf, lp_t, basis_np, atu_np, sf64=sf)
+    if not certified or x_full is None:
+        return solve_lp(lp, config)
+
+    x_user = tr.restore_x(x_full[: lp_t.n_vars])
+    c_min = -lp.c if lp.maximize else lp.c
+    fun = float(c_min @ x_user)
+    z_user = (-fun if lp.maximize else fun) + 0.0
+    return SimplexResult(
+        x=x_user, fun=fun, status=0, success=True,
+        message=STATUS_MESSAGES[STATUS_OPTIMAL], nit=nit,
+        basis=basis_np, z=z_user, at_upper=atu_np,
+        solve_time=time.perf_counter() - t0,
+        duals=duals, reduced_costs=tr.restore_reduced(reduced),
+    )
+
+
 class DenseSimplexSolver:
     """Object-style facade over :func:`solve_lp` / :func:`reoptimize`."""
 
@@ -1068,6 +1180,6 @@ class DenseSimplexSolver:
     def solve(self, lp: LinearProgram) -> SimplexResult:
         return solve_lp(lp, self.config)
 
-    def reoptimize(self, lp: LinearProgram,
-                   basis: np.ndarray) -> SimplexResult:
-        return reoptimize(lp, basis, self.config)
+    def reoptimize(self, lp: LinearProgram, basis: np.ndarray,
+                   at_upper: Optional[np.ndarray] = None) -> SimplexResult:
+        return reoptimize(lp, basis, self.config, at_upper=at_upper)

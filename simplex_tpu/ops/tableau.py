@@ -599,6 +599,190 @@ def _gather_col_single(T, s):
     return T @ hot
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tol", "max_iters", "bland_after", "refactor_every",
+                     "devex"),
+)
+def solve_tableau_dual_bounded(T0, basis0, col_mask, ub, at_upper0,
+                               tol: float = 1e-6, max_iters: int = 16384,
+                               bland_after: int = 2048,
+                               refactor_every: int = 64,
+                               devex: bool = True):
+    """Dual simplex with NATIVE bounds ``0 <= x <= ub`` (VERDICT r4 #4).
+
+    The bounded mirror of :func:`solve_tableau_dual` — the capability
+    HiGHS ``highs-ds`` provides behind the reference's
+    ``solver_controller.py:83``: reoptimize a BOUNDED LP after an RHS
+    change from the old (still dual-feasible) basis.  Primal feasibility
+    is two-sided: a basic variable is infeasible BELOW 0 or ABOVE its
+    upper bound; the leaving row is the largest violation (dual Devex
+    scores ``viol² / w``).  With ``δ_r = +1`` for a below-lower leave and
+    ``-1`` for an above-upper leave, the entering candidates over the
+    sign-adjusted row ``row' = δ_r T[r, :]`` are at-LOWER columns with
+    ``row' < -tol`` or at-UPPER columns with ``row' > +tol``; the dual
+    ratio is ``|rc_j| / |row'_j|`` (dual feasibility: at-lower rc >= 0,
+    at-upper rc <= 0 — both stay valid under the common minimum).
+
+    The pivot itself stays the standard rank-1 update; bound semantics
+    ride as TWO RHS-column axpys that preserve the invariant
+    ``x_B = B^{-1}(b - A_U u_U)`` exactly (objective cell included, since
+    the objective row's entry of a column j is rc_j):
+
+    * entering from UPPER: pre-flip s down — ``T[:, -1] += T[:, s] u_s``;
+    * leaving at UPPER (δ_r = -1): post-flip j_out up —
+      ``T[:, -1] -= T'[:, j_out] u_jout`` with the POST-pivot column.
+
+    ``T0``'s RHS column must hold the RAW ``b0`` (the drift anchor);
+    the caller passes the effective starting tableau via the same array
+    — refactorization rebuilds rows from T0 and re-subtracts the
+    at-upper contributions.  ``at_upper0``: (n_cols,) bool, basic
+    columns False.  Returns ``(T, basis, at_upper, status, iters)``.
+    """
+    T0_rows = T0[:-1]
+    raw_obj = T0[-1]
+    m = T0_rows.shape[0]
+    n_cols = T0.shape[1] - 1
+    dt = T0.dtype
+    ub = jnp.asarray(ub, dt)
+    ub_safe = jnp.where(jnp.isfinite(ub), ub, 0.0)
+
+    def _refactor_bounded(basis, at_upper):
+        T_new = refactor_tableau(T0_rows, basis, raw_obj)
+        u_vec = jnp.where(at_upper, ub_safe, 0.0)
+        adj = T_new[:, :n_cols] @ u_vec
+        return T_new.at[:, -1].add(-adj)
+
+    # Effective starting tableau: T0's rows under basis0, RHS adjusted for
+    # the at-upper set (identical math to the periodic refactor, so the
+    # caller only ships the anchor once).
+    T_start = _refactor_bounded(basis0, at_upper0)
+    T_start = jnp.where(jnp.all(jnp.isfinite(T_start)), T_start, T0)
+
+    def cond(state):
+        status, iters = state[4], state[3]
+        return (status == RUNNING) & (iters < max_iters)
+
+    def body(state):
+        (T, basis, at_upper, iters, _, since_ref, stall, best_obj, no_imp,
+         w) = state
+        rhs = T[:-1, -1]
+        ub_B = jnp.take(ub, basis)
+        viol_lo = -rhs
+        viol_up = jnp.where(jnp.isfinite(ub_B), rhs - ub_B, -jnp.inf)
+        viol = jnp.maximum(viol_lo, viol_up)
+        infeas = viol > tol
+        use_bland = no_imp >= bland_after
+        if devex:
+            score = jnp.where(infeas, (viol * viol) / w, -jnp.inf)
+            r_price = jnp.argmax(score)
+        else:
+            r_price = jnp.argmax(jnp.where(infeas, viol, -jnp.inf))
+        r = jnp.where(use_bland,
+                      jnp.argmax(jnp.where(infeas, viol, -jnp.inf)),
+                      r_price)
+        primal_ok = ~jnp.any(infeas)
+        delta = jnp.where(viol_lo[r] >= viol_up[r], 1.0, -1.0).astype(dt)
+        leave_up = delta < 0
+
+        row = T[r, :-1]
+        rowp = delta * row
+        elig_lo = col_mask & ~at_upper & (rowp < -tol)
+        elig_up = col_mask & at_upper & (rowp > tol)
+        eligible = elig_lo | elig_up
+        no_pivot = ~jnp.any(eligible)
+
+        rc = T[-1, :-1]
+        num = jnp.where(at_upper, jnp.maximum(-rc, 0.0),
+                        jnp.maximum(rc, 0.0))
+        safe = jnp.where(eligible, jnp.abs(rowp), 1.0)
+        ratios = jnp.where(eligible, num / safe, jnp.inf)
+        min_ratio = jnp.min(ratios)
+        window = eligible & (
+            ratios <= min_ratio + tol * (1.0 + jnp.abs(min_ratio)))
+        s_harris = jnp.argmax(jnp.where(window, jnp.abs(rowp), -jnp.inf))
+        s = jnp.where(use_bland, jnp.argmax(eligible), s_harris)
+
+        want_stop = primal_ok | no_pivot
+        fresh = since_ref == 0
+        accept_now = want_stop & (fresh | (stall >= 3))
+        branch = jnp.where(
+            accept_now, 0,
+            jnp.where(want_stop | (since_ref >= refactor_every), 1, 2),
+        )
+
+        def accept(args):
+            return args
+
+        def do_refactor(args):
+            T, basis, at_upper, _, w = args
+            T_new = _refactor_bounded(basis, at_upper)
+            ok = jnp.all(jnp.isfinite(T_new))
+            T = jnp.where(ok, T_new, T)
+            return T, basis, at_upper, jnp.int32(0), w
+
+        def do_pivot(args):
+            T, basis, at_upper, since_ref, w = args
+            if devex:
+                alpha = _gather_col_single(T, s)[:-1]
+                a_r = alpha[jnp.minimum(r, m - 1)]
+                a_r = jnp.where(jnp.abs(a_r) > 0, a_r, 1.0)
+                ratio2 = (alpha / a_r) ** 2
+                w_r = w[jnp.minimum(r, m - 1)]
+                is_r = jnp.arange(m) == r
+                w_new = jnp.maximum(w, ratio2 * w_r)
+                w_new = jnp.where(
+                    is_r, jnp.maximum(w_r / (a_r * a_r), 1.0), w_new)
+                w = jnp.where(jnp.max(w_new) > 1e8, jnp.ones_like(w_new),
+                              w_new)
+            j_out = basis[r]
+            # Pre-flip: an at-upper entering column first returns to its
+            # lower bound (RHS += column * u_s; exact, obj cell included).
+            s_up = at_upper[s]
+            u_s = jnp.where(s_up, ub_safe[s], 0.0)
+            col_s = _gather_col_single(T, s)
+            T = T.at[:, -1].add(u_s * col_s)
+            at_upper = at_upper.at[s].set(False)
+            T, basis = pivot_update(T, basis, r, s)
+            # Post-flip: a leave-at-upper variable parks AT its bound
+            # (RHS -= post-pivot column * u_jout).
+            u_out = jnp.where(leave_up, jnp.take(ub_safe, j_out), 0.0)
+            col_out = _gather_col_single(T, j_out)
+            T = T.at[:, -1].add(-u_out * col_out)
+            at_upper = at_upper.at[j_out].set(leave_up)
+            return T, basis, at_upper, since_ref + 1, w
+
+        T, basis, at_upper, since_ref, w = lax.switch(
+            branch, [accept, do_refactor, do_pivot],
+            (T, basis, at_upper, since_ref, w)
+        )
+        obj = -T[-1, -1]
+        improved = obj > best_obj + tol * (1.0 + jnp.abs(best_obj))
+        stall = jnp.where(improved, 0, stall + ((branch == 1) & want_stop))
+        no_imp = jnp.where(improved, 0,
+                           no_imp + (branch == 2).astype(no_imp.dtype))
+        best_obj = jnp.maximum(best_obj, obj)
+        status = jnp.where(
+            branch == 0,
+            jnp.where(primal_ok, STATUS_OPTIMAL, STATUS_INFEASIBLE),
+            RUNNING,
+        )
+        iters = iters + (branch == 2).astype(iters.dtype)
+        return (T, basis, at_upper, iters, status, since_ref, stall,
+                best_obj, no_imp, w)
+
+    # since_ref starts at 0: T_start IS a fresh refactor, so an immediate
+    # verdict is already confirmed.
+    T, basis, at_upper, iters, status, _, _, _, _, _ = lax.while_loop(
+        cond, body,
+        (T_start, jnp.asarray(basis0), jnp.asarray(at_upper0),
+         jnp.int32(0), jnp.int32(RUNNING), jnp.int32(0),
+         jnp.int32(0), jnp.asarray(-jnp.inf, dt), jnp.int32(0),
+         jnp.ones((m,), dt)))
+    status = jnp.where(status == RUNNING, STATUS_ITERATION_LIMIT, status)
+    return T, basis, at_upper, status, iters
+
+
 # --------------------------------------------------------------------------- #
 # History-capturing variant: fixed-length lax.scan emitting tableau snapshots #
 # (the simple_simplex ``pivotSteps`` contract, solver_controller.py:290-363)  #
