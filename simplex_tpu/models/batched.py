@@ -174,7 +174,13 @@ def compile_batch_uniform(c: np.ndarray, A: np.ndarray, b: np.ndarray,
         m_pad = max(_round_up(m, row_pad), row_pad)
         n_pad = max(_round_up(n_cols + (m_pad - m), 8), col_pad)
 
-    T = np.zeros((B, m_pad + 1, n_pad + 1), dtype=np.float64)
+    # Allocate the tableau DIRECTLY in the target dtype: the f64
+    # intermediate doubled peak host memory, which is what caps the
+    # 100k-row config-5 regime (a 100k x 100k f32 tableau is 40 GB; its
+    # f64 twin would put assembly alone at 120 GB on a 125 GB host).
+    # Assignments below cast f64 sources per-element; the small
+    # objective/mask arrays stay f64 until the final cast.
+    T = np.zeros((B, m_pad + 1, n_pad + 1), dtype=np.dtype(dtype))
     T[:, :m, :n] = A
     T[:, :m, n_pad] = b
 
@@ -504,6 +510,26 @@ def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
     res.x = np.array(res.x)
     res.fun = np.array(res.fun)
     res.z = np.array(res.z)
+    ops_arr = np.asarray(ops)
+    if ops_arr.ndim == 1 and np.all(ops_arr == OP_LE):
+        # All-<= sweep: the fully-vectorized structured certifier (one
+        # batched LAPACK pair straight from raw data — ~17x the chunked
+        # standard-form path, the 1M-exact-sweep enabler).  Returns None
+        # when some b < 0 (row flips create artificials) — fall through.
+        from .certify import certify_sweep_le_f64
+
+        fix = certify_sweep_le_f64(res.status, res.basis, c, A, b,
+                                   maximize, ub=ub, at_upper=res.at_upper,
+                                   tol=tol)
+        if fix is not None:
+            res.status = fix["status"]
+            res.x = fix["x"]
+            res.fun = fix["fun"]
+            res.z = fix["z"]
+            res.success = res.status == STATUS_OPTIMAL
+            res.certified = fix["certified"]
+            res.escalated = fix["escalated"]
+            return res
     if ub is not None or A.shape[1] >= 512:
         # Large-m regime: the structured certifier (k×k LU per instance,
         # k <= n) replaces the dense m×m batched LU, which is O(m^3) host

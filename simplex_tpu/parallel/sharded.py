@@ -737,8 +737,6 @@ def solve_arrays_sharded(c, A, b, ops, maximize=True, mesh: Mesh = None,
     m_pad = cb.basis.shape[1]
     assert m_pad % n_row == 0
 
-    T_rows = cb.T0[:, :-1, :]
-    obj = cb.T0[:, -1, :]
     row_valid = np.zeros((B_pad, m_pad), bool)
     row_valid[:, :m] = True
     art_mask = cb.col_mask_p1 & ~cb.col_mask_p2
@@ -748,17 +746,29 @@ def solve_arrays_sharded(c, A, b, ops, maximize=True, mesh: Mesh = None,
     sh_rep = NamedSharding(mesh, P("batch", None))
     sh_b = NamedSharding(mesh, P("batch"))
 
+    # Stage the tableau SHARD BY SHARD straight from the numpy buffer
+    # (make_array_from_callback): a whole-array jnp.asarray/device_put of
+    # the non-contiguous row block would materialize a contiguous 40 GB
+    # temp at the 100k-row config-5 shape — peak memory here is one host
+    # copy + one sharded device copy + a single shard-sized temp.  The
+    # host tableau is dropped before the solve.
+    obj = np.ascontiguousarray(cb.T0[:, -1, :])
+    T_shape = (B_pad, m_pad, cb.T0.shape[2])
+    T_dev = jax.make_array_from_callback(
+        T_shape, sh_T,
+        lambda idx, _T=cb.T0: np.ascontiguousarray(_T[:, :-1, :][idx]))
+    cb.T0 = None
     args = (
-        jax.device_put(jnp.asarray(T_rows), sh_T),
-        jax.device_put(jnp.asarray(cb.basis), sh_rows),
-        jax.device_put(jnp.asarray(obj), sh_rep),
-        jax.device_put(jnp.asarray(cb.col_mask_p1), sh_rep),
-        jax.device_put(jnp.asarray(cb.col_mask_p2), sh_rep),
-        jax.device_put(jnp.asarray(art_mask), sh_rep),
-        jax.device_put(jnp.asarray(cb.obj_row_p1), sh_rep),
-        jax.device_put(jnp.asarray(cb.obj_row_p2), sh_rep),
-        jax.device_put(jnp.asarray(cb.need_p1), sh_b),
-        jax.device_put(jnp.asarray(row_valid), sh_rows),
+        T_dev,
+        jax.device_put(cb.basis, sh_rows),
+        jax.device_put(obj, sh_rep),
+        jax.device_put(cb.col_mask_p1, sh_rep),
+        jax.device_put(cb.col_mask_p2, sh_rep),
+        jax.device_put(art_mask, sh_rep),
+        jax.device_put(cb.obj_row_p1, sh_rep),
+        jax.device_put(cb.obj_row_p2, sh_rep),
+        jax.device_put(cb.need_p1, sh_b),
+        jax.device_put(row_valid, sh_rows),
     )
     n_pad_cols = cb.col_mask_p1.shape[1]
     bounded = cb.ub_ext is not None
