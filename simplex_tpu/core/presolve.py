@@ -15,11 +15,24 @@ shadow prices, and reduced costs map back exactly:
 * redundant bounds  — singleton rows implied by ``x >= 0``
                       (``a x_j >= b`` with ``a > 0 >= b``, etc.): dropped
                       (dual = 0); singleton rows that contradict
-                      ``x >= 0`` prove infeasibility immediately.
+                      ``x >= 0`` prove infeasibility immediately;
+* duplicate rows    — proportional rows (same op, positive ratio): only
+                      the TIGHTEST survives; the dropped row is implied,
+                      so dual = 0 stays a valid (possibly degenerate)
+                      KKT choice.  Proportional ``=`` rows with
+                      inconsistent RHS prove infeasibility;
+* dominated columns — ``c_min_j >= 0`` and the column never helps
+                      feasibility (``a_ij >= 0`` on every ``<=`` row,
+                      ``<= 0`` on every ``>=`` row, ``0`` on every ``=``
+                      row): ``x_j = 0`` is optimal.  Generalizes the
+                      empty-column rule; the dropped column's reduced
+                      cost is reconstructed from the duals in postsolve
+                      (``rc_j = c_j - y·A_j`` in user-sense signs).
 
-Substitution-style reductions (fixed variables, doubleton elimination)
-are deliberately left out: they would remap duals nontrivially and the
-device engines handle those rows at full speed anyway.
+Substitution-style reductions (fixed variables, doubleton elimination,
+forcing rows) are deliberately left out: they would remap duals
+nontrivially and the device engines handle those rows at full speed
+anyway.
 """
 from __future__ import annotations
 
@@ -68,20 +81,31 @@ class PresolveResult:
         return y
 
     def postsolve_reduced_costs(self, rc_red: Optional[np.ndarray],
-                                lp_orig: LinearProgram
+                                lp_orig: LinearProgram,
+                                duals: Optional[np.ndarray] = None
                                 ) -> Optional[np.ndarray]:
-        """Dropped columns touch no constraint: rc = user-sense cost."""
+        """Reconstruct dropped columns' reduced costs.
+
+        With ``duals`` (the POSTSOLVED user-sense shadow prices), any
+        dropped-at-zero column's marginal is exact:
+        ``rc_j = c_j - duals·A[:, j]`` — the identity follows from
+        ``duals = dZ_user/db`` regardless of max/min sense.  Without
+        duals (or for empty columns, where A_j = 0) it reduces to the
+        user cost itself.
+        """
         if rc_red is None:
             return None
         rc = np.zeros((self.n_cols_orig,))
         rc[self.kept_cols] = rc_red
         dropped = np.setdiff1d(np.arange(self.n_cols_orig), self.kept_cols)
-        user_sign = -1.0 if lp_orig.maximize else 1.0
-        # dZ_user/dx_j for an unconstrained-at-zero variable is its own
-        # user-sense cost mapped through the reporting convention
-        # (user_sign * min-form cost = the original c_j either way).
-        rc[dropped] = user_sign * (
-            -lp_orig.c[dropped] if lp_orig.maximize else lp_orig.c[dropped])
+        if dropped.size:
+            c_user = np.asarray(lp_orig.c, np.float64)[dropped]
+            if duals is not None and lp_orig.n_cons:
+                rc[dropped] = c_user - np.asarray(
+                    duals, np.float64) @ np.asarray(
+                        lp_orig.A, np.float64)[:, dropped]
+            else:
+                rc[dropped] = c_user
         return rc
 
 
@@ -133,18 +157,84 @@ def presolve(lp: LinearProgram, tol: float = 1e-9) -> PresolveResult:
             if bound < -tol:
                 return decided(2)          # x_j = negative: empty
 
-    # ---- empty columns -------------------------------------------------- #
-    # An improving (c_min < 0) empty column means "unbounded IF feasible" —
-    # feasibility of the remaining rows is not known here, so those columns
-    # are KEPT and the two-phase engine decides (phase 1 feasibility first,
-    # then the ratio test flags the empty column as unbounded).  Only
-    # never-improving empty columns are safely fixed at zero.
+    # ---- duplicate (proportional) rows ---------------------------------- #
+    # Rows i, k with A_k = lam * A_i (lam > 0, same op after normalization):
+    # only the tightest survives; the dropped row is implied everywhere the
+    # kept one holds, so dual = 0 remains a valid KKT assignment (possibly
+    # degenerate when both are tight).  Normalizing each row by its max
+    # |entry| turns proportionality into equality, caught by lexicographic
+    # sort + adjacent compare — O(m n log m), no pairwise loop.
+    live = np.where(keep_row & (row_nnz > 0))[0]
+    if live.size > 1:
+        row_max = np.max(np.abs(A[live]), axis=1)
+        norm = A[live] / row_max[:, None]
+        b_norm = b[live] / row_max
+        ops_l = ops[live].copy()
+        # EQ rows: canonicalize the sign (first nonzero positive) so
+        # A_k = -lam * A_i equalities are caught too.
+        is_eq = ops_l == OP_EQ
+        if np.any(is_eq):
+            first = np.argmax(np.abs(norm) > tol, axis=1)
+            lead = norm[np.arange(live.size), first]
+            flip = is_eq & (lead < 0)
+            norm[flip] *= -1.0
+            b_norm[flip] *= -1.0
+        order = np.lexsort(np.vstack(
+            [ops_l[None, :].astype(np.float64),
+             np.round(norm, 12).T[::-1]]))
+        sn, so, sb, sidx = (norm[order], ops_l[order],
+                            b_norm[order], live[order])
+        same = np.all(np.abs(sn[1:] - sn[:-1])
+                      <= tol * (1.0 + np.abs(sn[1:])), axis=1)
+        same &= so[1:] == so[:-1]
+        t = 0
+        while t < same.size:
+            if not same[t]:
+                t += 1
+                continue
+            t1 = t
+            while t1 < same.size and same[t1]:
+                t1 += 1
+            run = np.arange(t, t1 + 1)           # indices into sorted view
+            op = so[run[0]]
+            bs = sb[run]
+            if op == OP_EQ:
+                if np.any(np.abs(bs - bs[0]) > tol * (1.0 + abs(bs[0]))):
+                    return decided(2)            # inconsistent = rows
+                winner = run[0]
+            elif op == OP_LE:
+                winner = run[int(np.argmin(bs))]  # tightest <=
+            else:
+                winner = run[int(np.argmax(bs))]  # tightest >=
+            for t2 in run:
+                if t2 != winner:
+                    keep_row[sidx[t2]] = False
+            t = t1 + 1
+
+    # ---- dominated / empty columns --------------------------------------- #
+    # x_j = 0 is optimal when the column can never pay (c_min_j >= 0) and
+    # never helps feasibility: nonnegative on every kept <= row (raising
+    # x_j only consumes slack), nonpositive on every kept >= row, zero on
+    # every kept = row.  Empty columns are the special case with all-zero
+    # entries; improving (c_min < 0) empty columns are KEPT — they mean
+    # "unbounded if feasible", and feasibility is the engine's phase-1
+    # call, not presolve's.  Dropped columns' reduced costs are
+    # reconstructed from duals in postsolve.  Exact sign comparisons: a
+    # tol-level negative entry could still matter at huge x_j.
     keep_col = np.ones((n,), bool)
-    col_nnz = nz[keep_row].sum(axis=0) if keep_row.any() \
-        else np.zeros((n,), np.int64)
-    for j in np.where(col_nnz == 0)[0]:
-        if c_min[j] >= -tol:
-            keep_col[j] = False            # optimal at 0
+    if keep_row.any():
+        Ak = A[keep_row]
+        opk = ops[keep_row]
+        le_ok = np.all(Ak[opk == OP_LE] >= 0.0, axis=0) \
+            if np.any(opk == OP_LE) else np.ones(n, bool)
+        ge_ok = np.all(Ak[opk == OP_GE] <= 0.0, axis=0) \
+            if np.any(opk == OP_GE) else np.ones(n, bool)
+        eq_ok = np.all(Ak[opk == OP_EQ] == 0.0, axis=0) \
+            if np.any(opk == OP_EQ) else np.ones(n, bool)
+        dominated = (c_min >= -tol) & le_ok & ge_ok & eq_ok
+    else:
+        dominated = c_min >= -tol
+    keep_col &= ~dominated
 
     kept_rows = np.where(keep_row)[0]
     kept_cols = np.where(keep_col)[0]

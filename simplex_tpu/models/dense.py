@@ -787,14 +787,15 @@ def solve_lp(lp: LinearProgram,
             x = pr.postsolve_x(inner.x)
             c_min = -lp.c if lp.maximize else lp.c
             fun = float(c_min @ x)
+            duals_ps = pr.postsolve_duals(inner.duals)
             return SimplexResult(
                 x=x, fun=fun, status=0, success=True,
                 message=inner.message, nit=inner.nit, basis=inner.basis,
                 z=(-fun if lp.maximize else fun) + 0.0,
                 solve_time=time.perf_counter() - t0,
-                duals=pr.postsolve_duals(inner.duals),
+                duals=duals_ps,
                 reduced_costs=pr.postsolve_reduced_costs(
-                    inner.reduced_costs, lp),
+                    inner.reduced_costs, lp, duals=duals_ps),
             )
 
     if lp.n_cons == 0:

@@ -4,6 +4,7 @@ The reference has no distributed code to mirror (SURVEY.md §2.4); these
 tests validate the TPU-native row-block sharded solver against scipy and
 against the single-chip batched engine, plus the driver entry points.
 """
+import os
 import numpy as np
 import pytest
 from scipy.optimize import linprog
@@ -285,3 +286,32 @@ def test_graft_entry_and_dryrun():
     assert out[2].shape == (4,)          # per-instance statuses
     mod.dryrun_multichip(8)
     mod.dryrun_multichip(4)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SIMPLEX_RUN_100K") != "1",
+    reason="config-5 100k-row regime: ~30 min + ~115 GB host RAM on the "
+           "virtual mesh; opt in with SIMPLEX_RUN_100K=1 (artifact: "
+           "BENCH_sharded100k_r05.json)")
+def test_sharded_100k_rows_certified():
+    """BASELINE config 5: a 100,000-constraint LP solved end-to-end
+    through the row-sharded kernel with a certified verdict.
+
+    Uses a (1,2) mesh: XLA's CPU in-process collectives kill a rendezvous
+    after a hard-coded 40 s, and 8 device threads timesharing this host's
+    2 cores exceed that window at the 40 GB-tableau shape ((1,8) passes
+    up to m=32768 here — exercised by the bench artifact)."""
+    from simplex_tpu.parallel.sharded import make_mesh, solve_arrays_sharded
+
+    m, n = 100_000, 20
+    rng = np.random.default_rng(42)
+    A = rng.uniform(0.05, 1.0, size=(1, m, n))
+    x0 = rng.uniform(0.5, 1.5, size=n)
+    b = (A[0] @ x0 + rng.uniform(0.05, 0.5, size=m))[None, :]
+    c = rng.uniform(0.1, 1.0, size=(1, n))
+    mesh = make_mesh(batch=1, row=2)
+    res = solve_arrays_sharded(c, A, b, np.full(m, -1), maximize=True,
+                               mesh=mesh, max_iters=512, certify=True)
+    assert res["status"][0] == 0
+    assert res["certified"][0]
+    assert np.isfinite(res["z"][0])
