@@ -497,10 +497,8 @@ def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
     """
     from .certify import certify_and_escalate
 
-    c = np.asarray(c, np.float64)
-    A = np.asarray(A, np.float64)
-    b = np.asarray(b, np.float64)
     ops = np.asarray(ops)
+    A = np.asarray(A)
     B = A.shape[0]
     maximize = np.broadcast_to(np.asarray(maximize, bool), (B,))
     certified = np.zeros((B,), bool)
@@ -510,8 +508,7 @@ def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
     res.x = np.array(res.x)
     res.fun = np.array(res.fun)
     res.z = np.array(res.z)
-    ops_arr = np.asarray(ops)
-    if ops_arr.ndim == 1 and np.all(ops_arr == OP_LE):
+    if ops.ndim == 1 and np.all(ops == OP_LE):
         # All-<= sweep: the fully-vectorized structured certifier (one
         # batched LAPACK pair straight from raw data — ~17x the chunked
         # standard-form path, the 1M-exact-sweep enabler).  Returns None
@@ -530,6 +527,9 @@ def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
             res.certified = fix["certified"]
             res.escalated = fix["escalated"]
             return res
+    c = np.asarray(c, np.float64)
+    A = np.asarray(A, np.float64)
+    b = np.asarray(b, np.float64)
     if ub is not None or A.shape[1] >= 512:
         # Large-m regime: the structured certifier (k×k LU per instance,
         # k <= n) replaces the dense m×m batched LU, which is O(m^3) host
