@@ -199,6 +199,20 @@ def bench_pivot_update(size: int, iters: int, reps: int = 5,
         except Exception as e:
             sys.stderr.write(f"bounded sub-bench failed: {e}\n")
             detail["bounded_lps_per_sec"] = None
+        # Production-scale batch (the sweep/stream chunk regime): fixed
+        # per-iteration costs amortize ~3x between B=1k and B=16k, so the
+        # artifact records both (B=1024 keeps round-over-round
+        # continuity; 16384 is what the 1M exact sweep actually runs).
+        try:
+            bb16 = bench_batched_solve(B=16384, reps=3)
+            detail["batched_lps_per_sec_16k"] = bb16["value"]
+            detail["batched_16k_spread"] = bb16["detail"]["spread"]
+            vb16 = bench_bounded_batched(B=16384, reps=3)
+            detail["bounded_lps_per_sec_16k"] = vb16["value"]
+            detail["bounded_16k_spread"] = vb16["detail"]["spread"]
+        except Exception as e:
+            sys.stderr.write(f"16k sub-bench failed: {e}\n")
+            detail["batched_lps_per_sec_16k"] = None
     return {
         "metric": f"pivots_per_sec_{size}x{size}_f32",
         "value": round(1.0 / dt, 3),
