@@ -207,12 +207,16 @@ def bench_pivot_update(size: int, iters: int, reps: int = 5,
             bb16 = bench_batched_solve(B=16384, reps=3)
             detail["batched_lps_per_sec_16k"] = bb16["value"]
             detail["batched_16k_spread"] = bb16["detail"]["spread"]
+        except Exception as e:
+            sys.stderr.write(f"16k batched sub-bench failed: {e}\n")
+            detail["batched_lps_per_sec_16k"] = None
+        try:
             vb16 = bench_bounded_batched(B=16384, reps=3)
             detail["bounded_lps_per_sec_16k"] = vb16["value"]
             detail["bounded_16k_spread"] = vb16["detail"]["spread"]
         except Exception as e:
-            sys.stderr.write(f"16k sub-bench failed: {e}\n")
-            detail["batched_lps_per_sec_16k"] = None
+            sys.stderr.write(f"16k bounded sub-bench failed: {e}\n")
+            detail["bounded_lps_per_sec_16k"] = None
     return {
         "metric": f"pivots_per_sec_{size}x{size}_f32",
         "value": round(1.0 / dt, 3),
@@ -340,7 +344,9 @@ def bench_batched_solve(B: int = 1024, m: int = 30, n: int = 50,
     jax.block_until_ready(args)
 
     def one():
-        out = batched_ops.solve_tableau_batch(*args)
+        # phase2_only matches what solve_arrays selects for this all-<=
+        # batch (the chunked no-cond production driver).
+        out = batched_ops.solve_tableau_batch(*args, phase2_only=True)
         return float(jnp.sum(out[0]))
 
     one()  # warm (cached from solve_arrays) + sync
@@ -387,7 +393,8 @@ def bench_bounded_batched(B: int = 1024, m: int = 30, n: int = 50,
     jax.block_until_ready(args)
 
     def one():
-        out = batched_ops.solve_tableau_batch_bounded(*args)
+        out = batched_ops.solve_tableau_batch_bounded(*args,
+                                                      phase2_only=True)
         return out
 
     out = one()

@@ -687,8 +687,16 @@ def solve_tableau_dual_bounded(T0, basis0, col_mask, ub, at_upper0,
 
         row = T[r, :-1]
         rowp = delta * row
-        elig_lo = col_mask & ~at_upper & (rowp < -tol)
-        elig_up = col_mask & at_upper & (rowp > tol)
+        # Entering candidates must be NONBASIC.  The unbounded dual gets
+        # this for free (a basic column's row-r entry is 0, and the
+        # leaving column's own +1 fails ``row < -tol``), but with
+        # delta = -1 the sign flip makes the LEAVING column itself pass
+        # ``rowp < -tol`` at dual ratio 0 — a self-pivot that marks a
+        # still-basic column at-upper and certifies a primal-infeasible
+        # vertex (round-5 review finding, reproduced on RHS increases).
+        basic_mask = jnp.zeros((n_cols,), bool).at[basis].set(True)
+        elig_lo = col_mask & ~basic_mask & ~at_upper & (rowp < -tol)
+        elig_up = col_mask & ~basic_mask & at_upper & (rowp > tol)
         eligible = elig_lo | elig_up
         no_pivot = ~jnp.any(eligible)
 

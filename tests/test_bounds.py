@@ -352,6 +352,45 @@ def test_bounded_dual_reoptimize_beats_cold():
     assert wins * 2 >= total, f"dual warm won {wins}/{total}"
 
 
+def test_bounded_dual_reoptimize_rhs_increase_above_upper():
+    """RHS INCREASES push basic variables ABOVE their upper bounds — the
+    delta = -1 leave-at-upper regime of the bounded dual ratio test.  The
+    round-5 review found the leaving column re-entering as a ratio-0
+    self-pivot here (certification caught it, silently cold-starting);
+    the warm path must now genuinely survive: at_upper is only non-None
+    when the dual kernel's verdict certified."""
+    from simplex_tpu.models.dense import reoptimize
+
+    warm_survived = 0
+    for seed in range(8):
+        rng = np.random.default_rng(500 + seed)
+        m, n = 20, 14
+        A = rng.uniform(0.1, 1.0, size=(m, n))
+        x0 = rng.uniform(0.2, 1.5, size=n)
+        b = A @ x0 + rng.uniform(0.05, 0.4, size=m)
+        c = rng.uniform(0.1, 1.0, size=n)
+        ub = np.where(rng.random(n) < 0.6, x0 * rng.uniform(0.7, 1.6, n),
+                      np.inf)
+        lp = LinearProgram(c=c, A=A, b=b, ops=np.full(m, -1),
+                           maximize=True, ub=ub)
+        cold = RevisedSimplexSolver().solve(lp)
+        assert cold.success and cold.at_upper is not None
+        b2 = b * (1.0 + rng.uniform(0.05, 0.25, size=m))   # INCREASE
+        lp2 = LinearProgram(c=c, A=A, b=b2, ops=np.full(m, -1),
+                            maximize=True, ub=ub)
+        warm = reoptimize(lp2, cold.basis, at_upper=cold.at_upper)
+        assert warm.success
+        ref = _scipy_ref(lp2)
+        assert ref.status == 0
+        zref = -ref.fun
+        assert warm.z == pytest.approx(zref, abs=1e-6 * (1 + abs(zref)))
+        # The cold fallback (row-lowered dense solve) returns
+        # at_upper=None — non-None proves the warm dual kernel's verdict
+        # itself passed certification.
+        warm_survived += int(warm.at_upper is not None)
+    assert warm_survived >= 6, f"warm path survived only {warm_survived}/8"
+
+
 def test_bounded_dual_reoptimize_infeasible_rhs():
     """An RHS change that empties the bounded feasible region must come
     back infeasible (kernel detects no eligible entering column, the
