@@ -70,6 +70,50 @@ print("PALLAS_OK", int(ok.sum()), "of", B)
     assert "PALLAS_OK" in out
 
 
+def test_bounded_fused_kernel_matches_xla_on_device():
+    """The BOUNDED fused Pallas step (round 5) vs the bounded XLA step on
+    the real chip, through both the default and the phase2_only drivers:
+    statuses and at-upper states identical, objectives to f32 round-off,
+    certification accepts all."""
+    out = _run_on_device("""
+import numpy as np, jax
+assert jax.default_backend() == "tpu", jax.default_backend()
+from simplex_tpu.config import SolverConfig
+from simplex_tpu.models.batched import BatchedSimplexSolver
+
+rng = np.random.default_rng(7)
+B, m, n = 256, 12, 16
+A = rng.uniform(0.05, 1.0, size=(B, m, n)).round(2)
+b = rng.uniform(1.0, 6.0, size=(B, m)).round(2)
+c = rng.uniform(0.1, 1.0, size=(B, n)).round(2)
+ub = np.where(rng.random((B, n)) < 0.6,
+              rng.uniform(0.3, 3.0, (B, n)), np.inf)
+ops = np.full(m, -1)          # all-<=: exercises the phase2_only driver
+rp = BatchedSimplexSolver(SolverConfig(batched_backend="pallas")) \\
+    .solve_arrays(c, A, b, ops, maximize=True, ub=ub)
+rx = BatchedSimplexSolver(SolverConfig(batched_backend="xla")) \\
+    .solve_arrays(c, A, b, ops, maximize=True, ub=ub)
+np.testing.assert_array_equal(rp.status, rx.status)
+ok = rp.status == 0
+np.testing.assert_allclose(rp.z[ok], rx.z[ok], rtol=1e-6, atol=1e-6)
+np.testing.assert_array_equal(rp.at_upper, rx.at_upper)
+assert rp.at_upper.any(), "bounded machinery not exercised"
+assert np.all(rp.certified) and np.all(rx.certified)
+# Mixed ops: the DEFAULT (phase-1-capable) bounded driver on-chip too.
+ops2 = np.array([-1, -1, -1, -1, 1, 1, 0, 0, -1, -1, -1, -1])
+rp2 = BatchedSimplexSolver(SolverConfig(batched_backend="pallas")) \\
+    .solve_arrays(c, A, b, ops2, maximize=True, ub=ub)
+rx2 = BatchedSimplexSolver(SolverConfig(batched_backend="xla")) \\
+    .solve_arrays(c, A, b, ops2, maximize=True, ub=ub)
+np.testing.assert_array_equal(rp2.status, rx2.status)
+ok2 = rp2.status == 0
+np.testing.assert_allclose(rp2.z[ok2], rx2.z[ok2], rtol=1e-6, atol=1e-6)
+assert np.all(rp2.certified) and np.all(rx2.certified)
+print("BOUNDED_PALLAS_OK", int(ok.sum()), int(ok2.sum()), "of", B)
+""")
+    assert "BOUNDED_PALLAS_OK" in out
+
+
 def test_dense_solve_on_device_hits_anchor():
     """One real dense device solve (the jitted while_loop on TPU) must hit
     the reference anchor Z = 9833.333 and a 512x512 random LP must match
