@@ -633,9 +633,12 @@ class BatchedSimplexSolver:
         )
         n_user = lps[0].n_vars
         if any(lp.has_finite_bounds for lp in lps):
-            # The batched tableau kernel is bound-unaware: lower finite
-            # bounds onto rows per instance (native bounds live in the
-            # revised engine; see core.problem.lower_bounds_to_rows).
+            # Convenience path: lower finite bounds onto rows per
+            # instance, so one standard-form build feeds both the solve
+            # AND this path's std-form-based certifier.  Bound-heavy
+            # batches that want the NATIVE bounded kernel (zero row
+            # inflation + raw-data certification) go through
+            # solve_lp_sweep / solve_arrays(ub=...) instead.
             lps = [lower_bounds_to_rows(lp) for lp in lps]
         free_maps = None
         if any(lp.has_free for lp in lps):
