@@ -508,11 +508,12 @@ def certify_uniform_result(res: BatchResult, c, A, b, ops, maximize,
     res.x = np.array(res.x)
     res.fun = np.array(res.fun)
     res.z = np.array(res.z)
-    if ops.ndim == 1 and np.all(ops == OP_LE):
-        # All-<= sweep: the fully-vectorized structured certifier (one
-        # batched LAPACK pair straight from raw data — ~17x the chunked
-        # standard-form path, the 1M-exact-sweep enabler).  Returns None
-        # when some b < 0 (row flips create artificials) — fall through.
+    if np.all(ops == OP_LE):
+        # All-<= sweep (shared or per-instance ops vector): the fully-
+        # vectorized structured certifier (one batched LAPACK pair
+        # straight from raw data — ~17x the chunked standard-form path,
+        # the 1M-exact-sweep enabler).  Returns None when some b < 0
+        # (row flips create artificials) — fall through.
         from .certify import certify_sweep_le_f64
 
         fix = certify_sweep_le_f64(res.status, res.basis, c, A, b,
