@@ -719,7 +719,8 @@ def solve_tableau_batch_bounded(T0, basis0, col_mask_p1, col_mask_p2,
                     T, basis, at_upper, cm2f, cm2f, phase2, status,
                     use_bland.astype(jnp.int32), w, ub_k, ub_B, is_art_row,
                     art_f, tol=tol, devex=devex,
-                    interpret=(backend == "pallas_interpret"))
+                    interpret=(backend == "pallas_interpret"),
+                    with_art=False)
             else:
                 rc = T[:, -1, :-1]
                 elig_lo = col_mask_p2 & ~at_upper & (rc < -tol)

@@ -165,7 +165,7 @@ def _make_kernel(tol: float, devex: bool):
     return kernel
 
 
-def _make_kernel_bounded(tol: float, devex: bool):
+def _make_kernel_bounded(tol: float, devex: bool, with_art: bool = True):
     """Fused bounded select+pivot step (semantic spec:
     ``ops.batched.solve_tableau_batch_bounded``'s loop body).
 
@@ -240,15 +240,20 @@ def _make_kernel_bounded(tol: float, devex: bool):
         xB = T[:, :, Nc - 1]                                    # (bB, M)
         pos = row_ok & (dd > tol)
         neg = row_ok & (dd < -tol) & jnp.isfinite(ub_B)
-        art_exit = (~in_p1) & is_art_row & (jnp.abs(dd) > tol) & row_ok
         # Backward-step clamps on BOTH limits (see ops/tableau).
         xB_c = jnp.maximum(xB, 0.0)
         span_c = jnp.maximum(ub_B - xB, 0.0)
         t_lo = jnp.where(pos, xB_c / jnp.where(pos, dd, 1.0), inf)
-        t_lo = jnp.where(art_exit, 0.0, t_lo)
         t_hi = jnp.where(neg, span_c / jnp.where(neg, -dd, 1.0), inf)
+        if with_art:
+            art_exit = (~in_p1) & is_art_row & (jnp.abs(dd) > tol) & row_ok
+            t_lo = jnp.where(art_exit, 0.0, t_lo)
+            cand = pos | neg | art_exit
+        else:
+            # phase2_only batches have no artificial columns at all —
+            # the artificial-exit machinery is statically dead.
+            cand = pos | neg
         t_row = jnp.minimum(t_lo, t_hi)
-        cand = pos | neg | art_exit
         min_row = jnp.min(t_row, axis=-1, keepdims=True)        # (bB, 1)
         theta = jnp.minimum(min_row, ub_s)
         unbounded = (~optimal) & jnp.isinf(theta)
@@ -264,10 +269,14 @@ def _make_kernel_bounded(tol: float, devex: bool):
                              jnp.where(neg, -dd, 1.0), inf)
         theta_max = jnp.min(jnp.minimum(t_lo_rel, t_hi_rel), axis=-1,
                             keepdims=True)
-        harris_cand = (cand & (t_row <= theta_max)) | art_exit
-        hval = jnp.where(harris_cand,
-                         jnp.abs(dd) + jnp.where(art_exit, _ART, 0.0),
-                         -inf)
+        if with_art:
+            harris_cand = (cand & (t_row <= theta_max)) | art_exit
+            hval = jnp.where(harris_cand,
+                             jnp.abs(dd) + jnp.where(art_exit, _ART, 0.0),
+                             -inf)
+        else:
+            harris_cand = cand & (t_row <= theta_max)
+            hval = jnp.where(harris_cand, jnp.abs(dd), -inf)
         h_max = jnp.max(hval, axis=-1, keepdims=True)
         r_harris = _first_where(hval == h_max, idx_m)
         near = cand & (t_row <= min_row
@@ -290,7 +299,8 @@ def _make_kernel_bounded(tol: float, devex: bool):
 
         j_out = jnp.sum(jnp.where(hot_r, basis, 0), axis=-1,
                         keepdims=True)                          # (bB, 1)
-        is_art_s = jnp.any(s_hot & art_mask, axis=-1, keepdims=True)
+        if with_art:
+            is_art_s = jnp.any(s_hot & art_mask, axis=-1, keepdims=True)
 
         # ---- PIVOT: standard rank-1; the RHS column is recomputed as a
         # rank-2 vector with the bounded explicit formulas (x_B -= σdθ,
@@ -355,8 +365,11 @@ def _make_kernel_bounded(tol: float, devex: bool):
         atup_out_ref[...] = jnp.where(
             do_pivot, atup_piv, jnp.where(do_flip, atup_flip, atup_i))
         ubB_out_ref[...] = jnp.where(do_pivot & hot_r, ub_s, ub_B)
-        art_out_ref[...] = jnp.where(
-            do_pivot & hot_r, is_art_s.astype(jnp.int32), art_ref[...])
+        if with_art:
+            art_out_ref[...] = jnp.where(
+                do_pivot & hot_r, is_art_s.astype(jnp.int32), art_ref[...])
+        else:
+            art_out_ref[...] = art_ref[...]
 
         s_ref[...] = s[:, None]
         r_ref[...] = r[:, None]
@@ -484,12 +497,13 @@ def _pick_block_b_bounded(B: int, M: int, N: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "devex", "interpret",
-                                             "block_b"))
+                                             "block_b", "with_art"))
 def fused_pivot_step_bounded(T, basis, at_upper, cm1, cm2, phase, status,
                              use_bland, weights, ub, ub_B, is_art_row,
                              art_mask,
                              tol: float = 1e-6, devex: bool = False,
-                             interpret: bool = False, block_b: int = 0):
+                             interpret: bool = False, block_b: int = 0,
+                             with_art: bool = True):
     """One fused BOUNDED select+pivot step for every instance in the batch.
 
     Fuses the loop body of ``ops.batched.solve_tableau_batch_bounded``
@@ -582,7 +596,7 @@ def fused_pivot_step_bounded(T, basis, at_upper, cm1, cm2, phase, status,
         [jnp.asarray(is_art_row, jnp.int32), jnp.zeros((B, 1), jnp.int32)],
         axis=1)
     (T2, basis2, atup2, w2, ubB2, art2, s, r, opt, unb, did) = pl.pallas_call(
-        _make_kernel_bounded(tol, devex),
+        _make_kernel_bounded(tol, devex, with_art),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
